@@ -1,0 +1,365 @@
+"""Functional MLP decoders for the hierarchical scene representation.
+
+Capability parity with the reference decoder zoo
+(reference: src/conv_onet/models/decoder.py):
+
+  * ``mlp``          — grid-conditioned point decoder: positional embedding
+                       (Gaussian Fourier / NeRF / identity / learned-linear),
+                       n_blocks hidden layers with per-block feature
+                       injection ``h += fc_c[i](feat)`` and a skip concat,
+                       linear head producing occupancy (1) or rgb+occ (4).
+                       (:177-203)
+  * ``mlp_no_xyz``   — feature-only decoder used at the coarse level (:262-274).
+  * ``nice``         — the 4-level container with stage dispatch:
+                       coarse→occ, middle→occ, fine→fine+middle residual occ,
+                       color→rgb from color head + fine+middle occ (:312-342).
+  * iMAP mode        — a single 256-wide, 4-block MLP with no grids
+                       (src/conv_onet/config.py:28-32).
+
+Design: parameters are plain pytrees (dicts of arrays); apply functions are
+pure and jit/vmap/grad-safe.  All matmuls carry
+``preferred_element_type=float32`` so XLA schedules them on the MXU at full
+accumulate precision.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.ops.interp import sample_grid_feature
+
+Params = Dict[str, Any]
+
+FOURIER_EMBED_SIZE = 93  # reference: decoder.py:129
+FOURIER_SCALE = 25.0     # reference: decoder.py:131
+
+
+# ---------------------------------------------------------------------------
+# Specs (static configuration; hashable so jit can close over them)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MLPSpec:
+    """Static architecture description of one decoder MLP."""
+
+    name: str = ""
+    dim: int = 3
+    c_dim: int = 32
+    hidden_size: int = 32
+    n_blocks: int = 5
+    skips: Tuple[int, ...] = (2,)
+    color: bool = False
+    concat_feature: bool = False  # fine decoder: concat middle-level feature
+    pos_embedding_method: str = "fourier"
+    no_xyz: bool = False  # coarse decoder variant (MLP_no_xyz)
+
+    @property
+    def embedding_size(self) -> int:
+        if self.no_xyz:
+            return 0
+        if self.pos_embedding_method == "fourier":
+            return FOURIER_EMBED_SIZE
+        if self.pos_embedding_method == "same":
+            return self.dim
+        if self.pos_embedding_method == "nerf":
+            multires = 10 if "color" in self.name else 5
+            return multires * 6 + self.dim
+        if self.pos_embedding_method == "fc_relu":
+            return FOURIER_EMBED_SIZE
+        raise ValueError(f"unknown pos_embedding_method {self.pos_embedding_method}")
+
+    @property
+    def feat_dim(self) -> int:
+        """Feature width entering fc_c / the skip concat."""
+        return self.c_dim * (2 if self.concat_feature else 1)
+
+    @property
+    def out_dim(self) -> int:
+        return 4 if self.color else 1
+
+
+@dataclasses.dataclass(frozen=True)
+class NICESpec:
+    """Static description of the full NICE 4-level decoder stack."""
+
+    dim: int = 3
+    c_dim: int = 32
+    hidden_size: int = 32
+    coarse: bool = False
+    pos_embedding_method: str = "fourier"
+
+    def sub_specs(self) -> Dict[str, MLPSpec]:
+        specs = {}
+        if self.coarse:
+            specs["coarse"] = MLPSpec(
+                name="coarse", dim=self.dim, c_dim=self.c_dim,
+                hidden_size=self.hidden_size, no_xyz=True,
+            )
+        specs["middle"] = MLPSpec(
+            name="middle", dim=self.dim, c_dim=self.c_dim,
+            hidden_size=self.hidden_size,
+            pos_embedding_method=self.pos_embedding_method,
+        )
+        specs["fine"] = MLPSpec(
+            name="fine", dim=self.dim, c_dim=self.c_dim,
+            hidden_size=self.hidden_size, concat_feature=True,
+            pos_embedding_method=self.pos_embedding_method,
+        )
+        specs["color"] = MLPSpec(
+            name="color", dim=self.dim, c_dim=self.c_dim,
+            hidden_size=self.hidden_size, color=True,
+            pos_embedding_method=self.pos_embedding_method,
+        )
+        return specs
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches the torch layer inits so from-scratch training
+# behaves like the reference when pretrained blobs are unavailable)
+# ---------------------------------------------------------------------------
+
+def _xavier_uniform_relu(key, shape):
+    """DenseLayer init: xavier-uniform with relu gain, zero bias
+    (reference: decoder.py:70-79)."""
+    fan_in, fan_out = shape
+    gain = math.sqrt(2.0)
+    bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, (fan_in, fan_out), minval=-bound, maxval=bound)
+
+
+def _xavier_uniform_linear(key, shape):
+    """Output head init: xavier-uniform with linear gain (=1)."""
+    fan_in, fan_out = shape
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, (fan_in, fan_out), minval=-bound, maxval=bound)
+
+
+def _torch_linear_default(key, shape):
+    """torch nn.Linear default init (used for fc_c feature-injection layers)."""
+    fan_in, fan_out = shape
+    kw, kb = jax.random.split(key)
+    wb = 1.0 / math.sqrt(fan_in)
+    w = jax.random.uniform(kw, (fan_in, fan_out), minval=-wb, maxval=wb)
+    b = jax.random.uniform(kb, (fan_out,), minval=-wb, maxval=wb)
+    return w, b
+
+
+def init_mlp(key: jax.Array, spec: MLPSpec) -> Params:
+    """Allocate one decoder's parameter pytree."""
+    params: Params = {}
+    keys = jax.random.split(key, 3 * spec.n_blocks + 4)
+    ki = iter(range(len(keys)))
+
+    emb = spec.embedding_size
+    if not spec.no_xyz:
+        if spec.pos_embedding_method == "fourier":
+            params["embedder_B"] = (
+                jax.random.normal(keys[next(ki)], (spec.dim, FOURIER_EMBED_SIZE))
+                * FOURIER_SCALE
+            )
+        elif spec.pos_embedding_method == "fc_relu":
+            w = _xavier_uniform_relu(keys[next(ki)], (spec.dim, FOURIER_EMBED_SIZE))
+            params["embedder_w"] = w
+            params["embedder_b"] = jnp.zeros((FOURIER_EMBED_SIZE,))
+
+    # Hidden stack.  Layer input widths mirror reference decoder.py:149-152
+    # (grid-feature variant) and :235-238 (no_xyz variant).
+    pts = []
+    for i in range(spec.n_blocks):
+        if spec.no_xyz:
+            # Reference decoder.py:235-238 hardcodes hidden_size for the
+            # first layer (valid because c_dim == hidden_size there); the
+            # true input is the grid feature, width c_dim.
+            in_dim = spec.c_dim if i == 0 else spec.hidden_size
+            if i - 1 in spec.skips:
+                in_dim = spec.hidden_size + spec.c_dim
+        else:
+            in_dim = emb if i == 0 else spec.hidden_size
+            if i - 1 in spec.skips:
+                in_dim = spec.hidden_size + emb
+        w = _xavier_uniform_relu(keys[next(ki)], (in_dim, spec.hidden_size))
+        pts.append({"w": w, "b": jnp.zeros((spec.hidden_size,))})
+    params["pts_linears"] = pts
+
+    if spec.c_dim != 0 and not spec.no_xyz:
+        fc_c = []
+        for i in range(spec.n_blocks):
+            w, b = _torch_linear_default(
+                keys[next(ki)], (spec.feat_dim, spec.hidden_size)
+            )
+            fc_c.append({"w": w, "b": b})
+        params["fc_c"] = fc_c
+
+    w = _xavier_uniform_linear(keys[next(ki)], (spec.hidden_size, spec.out_dim))
+    params["output_linear"] = {"w": w, "b": jnp.zeros((spec.out_dim,))}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Positional embeddings
+# ---------------------------------------------------------------------------
+
+def _nerf_embed(x: jnp.ndarray, multires: int, log_sampling: bool) -> jnp.ndarray:
+    """NeRF sin/cos embedding (reference: decoder.py:33-67)."""
+    if log_sampling:
+        freqs = 2.0 ** np.linspace(0.0, multires - 1, multires)
+    else:
+        freqs = np.linspace(2.0**0.0, 2.0 ** (multires - 1), multires)
+    outs = [x]
+    for f in freqs:
+        outs.append(jnp.sin(x * f))
+        outs.append(jnp.cos(x * f))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def embed_points(params: Params, spec: MLPSpec, p: jnp.ndarray) -> jnp.ndarray:
+    if spec.pos_embedding_method == "fourier":
+        return jnp.sin(
+            jnp.dot(p, params["embedder_B"], preferred_element_type=jnp.float32)
+        )
+    if spec.pos_embedding_method == "same":
+        return p
+    if spec.pos_embedding_method == "nerf":
+        multires = 10 if "color" in spec.name else 5
+        return _nerf_embed(p, multires, log_sampling=("color" in spec.name))
+    if spec.pos_embedding_method == "fc_relu":
+        return jnp.dot(
+            p, params["embedder_w"], preferred_element_type=jnp.float32
+        ) + params["embedder_b"]
+    raise ValueError(spec.pos_embedding_method)
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def _dense(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
+
+
+def apply_mlp(
+    params: Params,
+    spec: MLPSpec,
+    p: jnp.ndarray,
+    grids: Optional[Dict[str, jnp.ndarray]],
+    bound: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Run one grid-conditioned decoder on (N, 3) world points.
+
+    Returns (N,) occupancy or (N, 4) rgb+occ depending on ``spec.color``.
+    Mirrors reference decoder.py:177-203 — per-block feature injection is
+    additive AFTER the relu; the skip concatenates the embedded points.
+    """
+    feat = None
+    if spec.c_dim != 0:
+        feat = sample_grid_feature(grids["grid_" + spec.name], p, bound)
+        if spec.concat_feature:
+            # fine decoder: concat the middle-level feature, gradient-stopped
+            # (reference decoder.py:182-187 uses torch.no_grad()).
+            feat_mid = jax.lax.stop_gradient(
+                sample_grid_feature(grids["grid_middle"], p, bound)
+            )
+            feat = jnp.concatenate([feat, feat_mid], axis=-1)
+
+    embedded = embed_points(params, spec, p)
+    h = embedded
+    for i, layer in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(_dense(layer, h))
+        if spec.c_dim != 0:
+            h = h + _dense(params["fc_c"][i], feat)
+        if i in spec.skips:
+            h = jnp.concatenate([embedded, h], axis=-1)
+    out = _dense(params["output_linear"], h)
+    if not spec.color:
+        out = out[..., 0]
+    return out
+
+
+def apply_mlp_no_xyz(
+    params: Params,
+    spec: MLPSpec,
+    p: jnp.ndarray,
+    grids: Dict[str, jnp.ndarray],
+    bound: jnp.ndarray,
+) -> jnp.ndarray:
+    """Coarse decoder: the grid feature IS the input (no point embedding).
+
+    Mirrors reference decoder.py:262-274.  ``bound`` here is the enlarged
+    coarse bound (reference src/NICE_SLAM.py:157).
+    """
+    feat = sample_grid_feature(grids["grid_" + spec.name], p, bound)
+    h = feat
+    for i, layer in enumerate(params["pts_linears"]):
+        h = jax.nn.relu(_dense(layer, h))
+        if i in spec.skips:
+            h = jnp.concatenate([feat, h], axis=-1)
+    out = _dense(params["output_linear"], h)
+    if not spec.color:
+        out = out[..., 0]
+    return out
+
+
+# Stage names in optimizer-schedule order.
+STAGES = ("coarse", "middle", "fine", "color")
+
+
+def apply_nice(
+    params: Dict[str, Params],
+    spec: NICESpec,
+    p: jnp.ndarray,
+    grids: Dict[str, jnp.ndarray],
+    bound: jnp.ndarray,
+    coarse_bound: jnp.ndarray,
+    stage: str,
+) -> jnp.ndarray:
+    """Stage-dispatched forward of the NICE decoder stack -> (N, 4) raw.
+
+    Parity with reference decoder.py:312-342:
+      coarse: raw[:, 3] = coarse_occ
+      middle: raw[:, 3] = middle_occ
+      fine:   raw[:, 3] = fine_occ + middle_occ
+      color:  raw[:, :3] from color head; raw[:, 3] = fine_occ + middle_occ
+
+    ``stage`` is static (each stage compiles its own step), so no traced
+    control flow is needed.
+    """
+    subs = spec.sub_specs()
+    n = p.shape[0]
+    if stage == "coarse":
+        occ = apply_mlp_no_xyz(params["coarse"], subs["coarse"], p, grids, coarse_bound)
+        return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
+    if stage == "middle":
+        occ = apply_mlp(params["middle"], subs["middle"], p, grids, bound)
+        return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
+    if stage == "fine":
+        fine_occ = apply_mlp(params["fine"], subs["fine"], p, grids, bound)
+        middle_occ = apply_mlp(params["middle"], subs["middle"], p, grids, bound)
+        occ = fine_occ + middle_occ
+        return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
+    if stage == "color":
+        raw = apply_mlp(params["color"], subs["color"], p, grids, bound)
+        fine_occ = apply_mlp(params["fine"], subs["fine"], p, grids, bound)
+        middle_occ = apply_mlp(params["middle"], subs["middle"], p, grids, bound)
+        occ = fine_occ + middle_occ
+        return jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
+    raise ValueError(f"unknown stage {stage}")
+
+
+def init_nice(key: jax.Array, spec: NICESpec) -> Dict[str, Params]:
+    """Parameter pytree for the full NICE stack."""
+    subs = spec.sub_specs()
+    keys = jax.random.split(key, len(subs))
+    return {name: init_mlp(k, s) for k, (name, s) in zip(keys, subs.items())}
+
+
+def apply_imap(
+    params: Params, spec: MLPSpec, p: jnp.ndarray
+) -> jnp.ndarray:
+    """iMAP* single-MLP forward -> (N, 4) rgb + volume density."""
+    return apply_mlp(params, spec, p, grids=None, bound=None)

@@ -1,0 +1,127 @@
+"""The scene representation state: an immutable pytree.
+
+This replaces the reference's shared-memory mutable model store
+(src/NICE_SLAM.py:70-90, SURVEY.md §2.4): grids + decoder parameters +
+bounds travel as values between the tracker and mapper.  A tracker
+"snapshot" of the map is just holding a reference to the current pytree —
+the JAX analog of the reference tracker's deepcopy
+(src/Tracker.py:130-142) at zero cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.models import decoders as D
+from nice_slam_tpu.models import grids as G
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneSpec:
+    """Static (hashable) description of the scene representation."""
+
+    nice: bool
+    decoder: Union[D.NICESpec, D.MLPSpec]
+    grid_shapes: tuple  # ((name, (nx, ny, nz)), ...) — empty for imap
+    c_dim: int
+    occupancy: bool
+    coarse: bool
+    coarse_bound_enlarge: float
+
+
+class SceneState(NamedTuple):
+    """Dynamic (pytree) scene state."""
+
+    decoders: Any                       # decoder params pytree
+    grids: Dict[str, jnp.ndarray]       # feature volumes (empty dict for imap)
+    bound: jnp.ndarray                  # (3, 2)
+    coarse_bound: jnp.ndarray           # (3, 2) = bound * coarse_bound_enlarge
+
+
+def build_scene(cfg: Dict[str, Any], nice: bool, seed: int = 0):
+    """Construct (SceneSpec, SceneState) from a parsed config.
+
+    Mirrors reference NICE_SLAM.__init__ model setup: get_model
+    (src/conv_onet/config.py:16-33), load_bound (src/NICE_SLAM.py:137-157),
+    grid_init (src/NICE_SLAM.py:192-250).
+    """
+    key = jax.random.PRNGKey(seed)
+    k_dec, k_grid = jax.random.split(key)
+
+    scale = cfg["scale"]
+    bound = G.round_bound(
+        np.asarray(cfg["mapping"]["bound"]), cfg["grid_len"]["bound_divisible"], scale
+    )
+    enlarge = cfg["model"]["coarse_bound_enlarge"]
+    coarse = bool(cfg["coarse"]) and nice
+    c_dim = cfg["model"]["c_dim"]
+
+    if nice:
+        dec_spec = D.NICESpec(
+            dim=cfg["data"]["dim"],
+            c_dim=c_dim,
+            hidden_size=32,
+            coarse=coarse,
+            pos_embedding_method=cfg["model"]["pos_embedding_method"],
+        )
+        dec_params = D.init_nice(k_dec, dec_spec)
+        shapes = G.grid_shapes(bound, cfg["grid_len"], coarse, enlarge)
+        grids = G.init_grids(k_grid, shapes, c_dim)
+        grid_shape_items = tuple(sorted(shapes.items()))
+    else:
+        dec_spec = D.MLPSpec(
+            name="", dim=cfg["data"]["dim"], c_dim=0, color=True,
+            hidden_size=256, skips=(), n_blocks=4,
+            pos_embedding_method=cfg["model"]["pos_embedding_method"],
+        )
+        dec_params = D.init_mlp(k_dec, dec_spec)
+        grids = {}
+        grid_shape_items = ()
+
+    spec = SceneSpec(
+        nice=nice,
+        decoder=dec_spec,
+        grid_shapes=grid_shape_items,
+        c_dim=c_dim,
+        occupancy=bool(cfg["occupancy"]),
+        coarse=coarse,
+        coarse_bound_enlarge=enlarge,
+    )
+    state = SceneState(
+        decoders=dec_params,
+        grids=grids,
+        bound=jnp.asarray(bound, jnp.float32),
+        coarse_bound=jnp.asarray(bound * enlarge, jnp.float32),
+    )
+    return spec, state
+
+
+def eval_points(
+    spec: SceneSpec,
+    state: SceneState,
+    p: jnp.ndarray,
+    stage: str = "color",
+) -> jnp.ndarray:
+    """Decode (N, 3) world points -> (N, 4) raw rgb+occ.
+
+    Out-of-scene-bound points get occupancy := 100 (an "occupied" sentinel
+    that terminates rays at the box), matching reference
+    src/utils/Renderer.py:41-57.
+    """
+    if spec.nice:
+        raw = D.apply_nice(
+            state.decoders, spec.decoder, p, state.grids,
+            state.bound, state.coarse_bound, stage,
+        )
+    else:
+        raw = D.apply_imap(state.decoders, spec.decoder, p)
+
+    lo, hi = state.bound[:, 0], state.bound[:, 1]
+    inside = jnp.all((p > lo) & (p < hi), axis=-1)
+    occ = jnp.where(inside, raw[:, 3], 100.0)
+    return jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)

@@ -1,0 +1,62 @@
+"""Keyframe store: fixed-capacity HBM-resident ring of RGB-D keyframes.
+
+The reference keeps keyframes as a mapper-process-local python list of CPU
+tensors, re-uploading window members to GPU every iteration
+(src/Mapper.py:82-83,439-440,611-617).  Here keyframes live in
+fixed-capacity device arrays so window gathers are pure device ops and the
+mapping step never touches the host; the logical count is host-side.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class KeyframeArrays(NamedTuple):
+    colors: jnp.ndarray   # (K, H, W, 3) f32
+    depths: jnp.ndarray   # (K, H, W) f32
+    est_c2w: jnp.ndarray  # (K, 4, 4) f32
+    gt_c2w: jnp.ndarray   # (K, 4, 4) f32
+
+
+class KeyframeStore:
+    """Host-managed ring of device-resident keyframes."""
+
+    def __init__(self, capacity: int, H: int, W: int):
+        self.capacity = capacity
+        self.arrays = KeyframeArrays(
+            colors=jnp.zeros((capacity, H, W, 3), jnp.float32),
+            depths=jnp.zeros((capacity, H, W), jnp.float32),
+            est_c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (capacity, 1, 1)),
+            gt_c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (capacity, 1, 1)),
+        )
+        self.frame_ids: List[int] = []  # keyframe position -> source frame index
+
+    def __len__(self) -> int:
+        return len(self.frame_ids)
+
+    def add(self, frame_idx: int, color, depth, est_c2w, gt_c2w) -> None:
+        i = len(self.frame_ids)
+        if i >= self.capacity:
+            raise RuntimeError("keyframe store capacity exceeded")
+        a = self.arrays
+        self.arrays = KeyframeArrays(
+            colors=a.colors.at[i].set(jnp.asarray(color, jnp.float32)),
+            depths=a.depths.at[i].set(jnp.asarray(depth, jnp.float32)),
+            est_c2w=a.est_c2w.at[i].set(jnp.asarray(est_c2w, jnp.float32)),
+            gt_c2w=a.gt_c2w.at[i].set(jnp.asarray(gt_c2w, jnp.float32)),
+        )
+        self.frame_ids.append(frame_idx)
+
+    def set_est_c2w(self, pos: int, c2w) -> None:
+        a = self.arrays
+        self.arrays = a._replace(est_c2w=a.est_c2w.at[pos].set(jnp.asarray(c2w)))
+
+    def gather_window(self, positions) -> Tuple[jnp.ndarray, ...]:
+        """Stack window keyframes: (colors, depths, est_c2w) for positions."""
+        idx = jnp.asarray(np.asarray(positions, np.int32))
+        a = self.arrays
+        return a.colors[idx], a.depths[idx], a.est_c2w[idx]

@@ -1,0 +1,633 @@
+"""Mapper: joint optimization of grids, decoders and (optionally) poses.
+
+Behavioral parity with the reference mapper (src/Mapper.py):
+  * keyframe window = overlap-ranked (or globally random) keyframes + the
+    last keyframe + the current frame (:256-272);
+  * frustum feature selection: only grid features visible from the current
+    camera (projective depth test + a 0.5 m camera ball) are optimizable
+    (:93-164,297-333) — realized here as gradient masks, which is exactly
+    equivalent under a fresh Adam (see slam/optim.py docstring);
+  * staged schedule middle -> fine -> color split by iteration ratios, with
+    the per-stage 5-group learning rates from the config (:403-419);
+  * local BA over window poses except the oldest, camera LR active only in
+    the color stage (:346-363,417-419);
+  * loss = masked depth L1 (+ weighted color L1 at the color stage)
+    (+ the iMAP free-space sigma regularizer x 5e-4) summed, not meaned
+    (:487-501);
+  * the coarse mapper is the same machinery pinned to stage 'coarse' with
+    global keyframe selection and depth-free rendering (:78-80,403-404,484).
+
+TPU-first: one ``optimize_map`` call = up to three ``lax.scan`` segments
+(one per stage) inside jit — the stage is static so each segment's forward
+graph contains exactly the decoders that stage trains; group-wise masked
+Adam reproduces torch param-group semantics without Python-side LR
+rewriting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.models.scene import SceneSpec, SceneState
+from nice_slam_tpu.ops.geometry import (
+    get_samples,
+    pose_from_tensor,
+    ray_aabb_far,
+    tensor_from_pose,
+)
+from nice_slam_tpu.ops.interp import bilinear_sample_2d
+from nice_slam_tpu.ops.render import RenderConfig, regulation, render_batch_ray
+from nice_slam_tpu.slam.optim import GroupAdamState, group_adam_update, init_group_adam
+
+STAGE_INDEX = {"coarse": 0, "middle": 1, "fine": 2, "color": 3}
+LR_KEYS = ("decoders_lr", "coarse_lr", "middle_lr", "fine_lr", "color_lr")
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    """Static mapping configuration (cfg['mapping'] + camera + mode)."""
+
+    H: int
+    W: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    pixels: int
+    iters: int
+    iters_first: int
+    every_frame: int
+    keyframe_every: int
+    mapping_window_size: int
+    middle_iter_ratio: float
+    fine_iter_ratio: float
+    w_color_loss: float
+    BA: bool
+    BA_cam_lr: float
+    fix_fine: bool
+    fix_color: bool
+    frustum_feature_selection: bool
+    keyframe_selection_method: str
+    lr_first_factor: float
+    lr_factor: float
+    color_refine: bool
+    nice: bool
+    coarse_mapper: bool
+    occupancy: bool
+    imap_decoders_lr: float
+    # ((decoders_lr, coarse_lr, middle_lr, fine_lr, color_lr) per stage)
+    stage_lr: Tuple[Tuple[float, float, float, float, float], ...]
+
+    @staticmethod
+    def from_cfg(cfg, cam, nice: bool, coarse_mapper: bool = False) -> "MapperConfig":
+        m = cfg["mapping"]
+        stage_lr = tuple(
+            tuple(float(m["stage"][s][k]) for k in LR_KEYS)
+            for s in ("coarse", "middle", "fine", "color")
+        )
+        ksel = m["keyframe_selection_method"]
+        if nice and coarse_mapper:
+            ksel = "global"  # reference: src/Mapper.py:78-80
+        return MapperConfig(
+            H=cam["H"], W=cam["W"], fx=cam["fx"], fy=cam["fy"],
+            cx=cam["cx"], cy=cam["cy"],
+            pixels=m["pixels"], iters=m["iters"], iters_first=m["iters_first"],
+            every_frame=m["every_frame"], keyframe_every=m["keyframe_every"],
+            mapping_window_size=m["mapping_window_size"],
+            middle_iter_ratio=m["middle_iter_ratio"],
+            fine_iter_ratio=m["fine_iter_ratio"],
+            w_color_loss=m["w_color_loss"],
+            BA=m["BA"], BA_cam_lr=m["BA_cam_lr"],
+            fix_fine=m["fix_fine"], fix_color=m["fix_color"],
+            frustum_feature_selection=m["frustum_feature_selection"],
+            keyframe_selection_method=ksel,
+            lr_first_factor=m["lr_first_factor"], lr_factor=m["lr_factor"],
+            color_refine=m["color_refine"], nice=nice,
+            coarse_mapper=coarse_mapper, occupancy=bool(cfg["occupancy"]),
+            imap_decoders_lr=float(m.get("imap_decoders_lr", 0.0)),
+            stage_lr=stage_lr,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Keyframe selection
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("H", "W", "pixels", "N_samples"))
+def overlap_scores(
+    key: jax.Array,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    c2w: jnp.ndarray,
+    kf_c2ws: jnp.ndarray,
+    H: int,
+    W: int,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    pixels: int = 100,
+    N_samples: int = 16,
+) -> jnp.ndarray:
+    """Fraction of current-frame surface samples visible in each keyframe.
+
+    Device-side replacement of the reference's numpy projection loop
+    (src/Mapper.py:166-228): sample 100 pixels x 16 depth-bounded points,
+    project into every keyframe at once (vmap), count in-frustum fraction.
+    """
+    rays_o, rays_d, d, _ = get_samples(
+        key, 0, H, 0, W, pixels, fx, fy, cx, cy, c2w, gt_depth, gt_color
+    )
+    d = d[:, None]
+    t = jnp.linspace(0.0, 1.0, N_samples)
+    z = 0.8 * d * (1.0 - t) + (d + 0.5) * t
+    pts = (rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]).reshape(-1, 3)
+
+    def score(kf_c2w):
+        w2c = jnp.linalg.inv(kf_c2w)
+        cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        zc = cam[:, 2] + 1e-5
+        u = (fx * (-cam[:, 0]) + cx * cam[:, 2]) / zc
+        v = (fy * cam[:, 1] + cy * cam[:, 2]) / zc
+        edge = 20
+        mask = (u < W - edge) & (u > edge) & (v < H - edge) & (v > edge) & (zc < 0)
+        return jnp.mean(mask.astype(jnp.float32))
+
+    return jax.vmap(score)(kf_c2ws)
+
+
+def select_keyframes(
+    rng: np.random.Generator,
+    mcfg: MapperConfig,
+    key: jax.Array,
+    gt_color,
+    gt_depth,
+    cur_c2w,
+    kf_est_c2w: jnp.ndarray,
+    n_keyframes: int,
+) -> List[int]:
+    """Window keyframe positions (excluding the always-added last keyframe
+    and current frame).  Reference: src/Mapper.py:256-272."""
+    if n_keyframes == 0:
+        return []
+    k = mcfg.mapping_window_size - 2
+    if mcfg.keyframe_selection_method == "global":
+        # random among positions 0..n-2 (reference random_select over len-1)
+        if n_keyframes - 1 <= 0:
+            return []
+        perm = rng.permutation(n_keyframes - 1)
+        return [int(x) for x in perm[: min(n_keyframes - 1, k)]]
+    # 'overlap'
+    scores = np.asarray(
+        overlap_scores(
+            key, gt_color, gt_depth, jnp.asarray(cur_c2w),
+            kf_est_c2w[: max(n_keyframes - 1, 1)],
+            mcfg.H, mcfg.W, mcfg.fx, mcfg.fy, mcfg.cx, mcfg.cy,
+        )
+    )[: n_keyframes - 1]
+    eligible = [int(i) for i in np.nonzero(scores > 0.0)[0]]
+    perm = rng.permutation(len(eligible))
+    return [eligible[int(i)] for i in perm[:k]]
+
+
+# ---------------------------------------------------------------------------
+# Frustum feature selection
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("shape", "H", "W"))
+def frustum_mask(
+    c2w: jnp.ndarray,
+    depth_img: jnp.ndarray,
+    bound: jnp.ndarray,
+    shape: Tuple[int, int, int],
+    H: int,
+    W: int,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+) -> jnp.ndarray:
+    """Boolean visibility mask over a grid's feature lattice.
+
+    Parity with reference get_mask_from_c2w (src/Mapper.py:93-164): project
+    every grid node into the camera, bilinear depth lookup (0 outside, zeros
+    replaced by the max looked-up depth), keep nodes with 0 <= cam_depth <=
+    depth+0.5 inside the image, plus all nodes within 0.5 m of the camera
+    center.
+    """
+    nx, ny, nz = shape
+    xs = jnp.linspace(bound[0, 0], bound[0, 1], nx)
+    ys = jnp.linspace(bound[1, 0], bound[1, 1], ny)
+    zs = jnp.linspace(bound[2, 0], bound[2, 1], nz)
+    X, Y, Z = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    points = jnp.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+
+    w2c = jnp.linalg.inv(c2w)
+    cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+    zc = cam[:, 2] + 1e-5
+    u = (fx * (-cam[:, 0]) + cx * cam[:, 2]) / zc
+    v = (fy * cam[:, 1] + cy * cam[:, 2]) / zc
+
+    depths = bilinear_sample_2d(depth_img, u, v)
+    depths = jnp.where(depths == 0.0, jnp.max(depths), depths)
+
+    in_img = (u < W) & (u > 0) & (v < H) & (v > 0)
+    mask = in_img & (0.0 <= -zc) & (-zc <= depths + 0.5)
+
+    dist2 = jnp.sum((points - c2w[:3, 3]) ** 2, axis=-1)
+    mask = mask | (dist2 < 0.25)
+    return mask.reshape(nx, ny, nz)
+
+
+# ---------------------------------------------------------------------------
+# The jitted mapping call
+# ---------------------------------------------------------------------------
+
+def _opt_param_groups(
+    spec: SceneSpec, state: SceneState, mcfg: MapperConfig, cam_tensors, BA: bool
+) -> Dict[str, Any]:
+    groups: Dict[str, Any] = {}
+    if spec.nice:
+        if mcfg.coarse_mapper:
+            groups["grid_coarse"] = state.grids["grid_coarse"]
+        else:
+            groups["grid_middle"] = state.grids["grid_middle"]
+            groups["grid_fine"] = state.grids["grid_fine"]
+            groups["grid_color"] = state.grids["grid_color"]
+            if not mcfg.fix_fine:
+                groups["dec_fine"] = state.decoders["fine"]
+            if not mcfg.fix_color:
+                groups["dec_color"] = state.decoders["color"]
+    else:
+        groups["dec"] = state.decoders
+    if BA:
+        groups["cams"] = cam_tensors
+    return groups
+
+
+def _merge_scene(
+    spec: SceneSpec, state: SceneState, groups: Dict[str, Any]
+) -> SceneState:
+    grids = dict(state.grids)
+    for k in ("grid_coarse", "grid_middle", "grid_fine", "grid_color"):
+        if k in groups:
+            grids[k] = groups[k]
+    decoders = state.decoders
+    if spec.nice:
+        decoders = dict(decoders)
+        if "dec_fine" in groups:
+            decoders["fine"] = groups["dec_fine"]
+        if "dec_color" in groups:
+            decoders["color"] = groups["dec_color"]
+    elif "dec" in groups:
+        decoders = groups["dec"]
+    return state._replace(decoders=decoders, grids=grids)
+
+
+def _active_groups(
+    spec: SceneSpec, mcfg: MapperConfig, stage: str, groups: Dict[str, Any]
+) -> Dict[str, bool]:
+    """Which param groups receive gradients in this stage's forward graph
+    (static — mirrors torch's per-parameter grad-presence behavior)."""
+    if not spec.nice:
+        return {k: True for k in groups}
+    if stage == "coarse":
+        active = {"grid_coarse"}
+    elif stage == "middle":
+        active = {"grid_middle"}
+    elif stage == "fine":
+        active = {"grid_middle", "grid_fine", "dec_fine"}
+    else:  # color
+        active = {"grid_middle", "grid_fine", "grid_color", "dec_fine", "dec_color"}
+    if "cams" in groups:
+        active.add("cams")
+    return {k: (k in active) for k in groups}
+
+
+def _stage_lrs(
+    mcfg: MapperConfig, stage: str, lr_factor, groups: Dict[str, Any], it
+) -> Dict[str, jnp.ndarray]:
+    """Per-group LR for this stage (reference :412-424)."""
+    tab = mcfg.stage_lr[STAGE_INDEX[stage]]
+    dec_lr, coarse_lr, mid_lr, fine_lr, color_lr = tab
+    lrs: Dict[str, Any] = {}
+    for k in groups:
+        if k == "grid_coarse":
+            lrs[k] = coarse_lr * lr_factor
+        elif k == "grid_middle":
+            lrs[k] = mid_lr * lr_factor
+        elif k == "grid_fine":
+            lrs[k] = fine_lr * lr_factor
+        elif k == "grid_color":
+            lrs[k] = color_lr * lr_factor
+        elif k in ("dec_fine", "dec_color"):
+            lrs[k] = dec_lr * lr_factor
+        elif k == "dec":
+            # iMAP: StepLR(step=200, gamma=0.8) over the call's iterations
+            # (reference :388-389,422,505-507)
+            lrs[k] = mcfg.imap_decoders_lr * (0.8 ** (it // 200).astype(jnp.float32))
+        elif k == "cams":
+            lrs[k] = jnp.where(stage == "color" or not spec_is_nice(mcfg), 0.0, 0.0)
+    # camera LR is stage-static:
+    if "cams" in groups:
+        if (not mcfg.nice) or stage == "color":
+            lrs["cams"] = mcfg.BA_cam_lr
+        else:
+            lrs["cams"] = 0.0
+    return lrs
+
+
+def spec_is_nice(mcfg):  # tiny helper to keep _stage_lrs readable
+    return mcfg.nice
+
+
+def mapping_loss(
+    spec: SceneSpec,
+    opt_groups: Dict[str, Any],
+    base_state: SceneState,
+    colors: jnp.ndarray,
+    depths: jnp.ndarray,
+    fixed_c2w: jnp.ndarray,
+    opt_cam_mask: jnp.ndarray,
+    key: jax.Array,
+    stage: str,
+    mcfg: MapperConfig,
+    rcfg: RenderConfig,
+    pixs_per_image: int,
+) -> jnp.ndarray:
+    """One mapping iteration's loss over the keyframe window
+    (reference src/Mapper.py:426-501)."""
+    state = _merge_scene(spec, base_state, opt_groups)
+    F = colors.shape[0]
+
+    if "cams" in opt_groups:
+        pose = pose_from_tensor(opt_groups["cams"])  # (F, 3, 4)
+        m = opt_cam_mask[:, None, None]
+        c2ws = m * pose + (1.0 - m) * fixed_c2w[:, :3, :]
+    else:
+        c2ws = fixed_c2w[:, :3, :]
+
+    k_frames, k_reg = jax.random.split(key)
+    frame_keys = jax.random.split(k_frames, F)
+
+    def sample_frame(k, color, depth, c2w):
+        return get_samples(
+            k, 0, mcfg.H, 0, mcfg.W, pixs_per_image,
+            mcfg.fx, mcfg.fy, mcfg.cx, mcfg.cy, c2w, depth, color,
+        )
+
+    rays_o, rays_d, gt_d, gt_c = jax.vmap(sample_frame)(
+        frame_keys, colors, depths, c2ws
+    )
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    gt_d = gt_d.reshape(-1)
+    gt_c = gt_c.reshape(-1, 3)
+
+    if spec.nice:
+        t_exit = jax.lax.stop_gradient(ray_aabb_far(rays_o, rays_d, state.bound))
+        inside = t_exit >= gt_d
+    else:
+        inside = jnp.ones_like(gt_d, dtype=bool)
+
+    depth, uncertainty, color = render_batch_ray(
+        spec, state, rays_o, rays_d, stage,
+        gt_depth=None if mcfg.coarse_mapper else gt_d,
+        key=None, rcfg=rcfg,
+    )
+
+    depth_mask = (gt_d > 0) & inside
+    loss = jnp.sum(jnp.where(depth_mask, jnp.abs(gt_d - depth), 0.0))
+    if (not spec.nice) or stage == "color":
+        color_loss = jnp.sum(
+            jnp.where(inside[:, None], jnp.abs(gt_c - color), 0.0)
+        )
+        loss = loss + mcfg.w_color_loss * color_loss
+
+    if not mcfg.occupancy:
+        # iMAP volume-density free-space regularizer (reference :496-501)
+        sigma = regulation(
+            spec, state, rays_d, rays_o, gt_d, k_reg, rcfg.N_samples, stage
+        )
+        loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
+    return loss
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "mcfg", "rcfg", "stage_plan", "BA", "pixs_per_image"),
+)
+def optimize_map_jit(
+    spec: SceneSpec,
+    state: SceneState,
+    colors: jnp.ndarray,
+    depths: jnp.ndarray,
+    fixed_c2w: jnp.ndarray,
+    cam_tensors: jnp.ndarray,
+    opt_cam_mask: jnp.ndarray,
+    grid_masks: Optional[Dict[str, jnp.ndarray]],
+    lr_factor: jnp.ndarray,
+    key: jax.Array,
+    spec2: None,  # placeholder to keep signature stable
+    mcfg: MapperConfig,
+    rcfg: RenderConfig,
+    stage_plan: Tuple[Tuple[str, int], ...],
+    BA: bool,
+    pixs_per_image: int,
+):
+    """One full optimize_map call: staged scans over jointly trained groups.
+
+    Returns (new_state, new_cam_tensors, losses (num_iters,)).
+    """
+    groups = _opt_param_groups(spec, state, mcfg, cam_tensors, BA)
+    adam = init_group_adam(groups)
+
+    it0 = jnp.zeros((), jnp.int32)
+    all_losses = []
+    carry = (groups, adam, it0)
+
+    for stage, n_iters in stage_plan:
+        if n_iters <= 0:
+            continue
+        active = _active_groups(spec, mcfg, stage, groups)
+
+        def step(c, k, _stage=stage, _active=active):
+            g, a, it = c
+            loss, grads = jax.value_and_grad(
+                lambda gg: mapping_loss(
+                    spec, gg, state, colors, depths, fixed_c2w, opt_cam_mask,
+                    k, _stage, mcfg, rcfg, pixs_per_image,
+                )
+            )(g)
+            if grid_masks is not None:
+                for gk in list(grads.keys()):
+                    if gk.startswith("grid_") and gk in grid_masks:
+                        grads[gk] = grads[gk] * grid_masks[gk][..., None]
+            lrs = _stage_lrs(mcfg, _stage, lr_factor, g, it)
+            g2, a2 = group_adam_update(g, grads, a, lrs, _active)
+            return (g2, a2, it + 1), loss
+
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, n_iters)
+        carry, losses = jax.lax.scan(step, carry, keys)
+        all_losses.append(losses)
+
+    groups, adam, _ = carry
+    new_state = _merge_scene(spec, state, groups)
+    new_cams = groups.get("cams", cam_tensors)
+    return new_state, new_cams, jnp.concatenate(all_losses)
+
+
+def stage_plan_for(
+    mcfg: MapperConfig, num_joint_iters: int,
+    middle_iter_ratio: Optional[float] = None,
+    fine_iter_ratio: Optional[float] = None,
+) -> Tuple[Tuple[str, int], ...]:
+    """Split the call's iterations into stage segments.
+
+    Reproduces the reference per-iteration stage rule (src/Mapper.py:403-410):
+    joint_iter <= int(n*middle_ratio) -> middle; <= int(n*fine_ratio) ->
+    fine; else color.  The coarse mapper is all-coarse; iMAP is all-color.
+    """
+    if mcfg.coarse_mapper:
+        return (("coarse", num_joint_iters),)
+    if not mcfg.nice:
+        return (("color", num_joint_iters),)
+    mr = mcfg.middle_iter_ratio if middle_iter_ratio is None else middle_iter_ratio
+    fr = mcfg.fine_iter_ratio if fine_iter_ratio is None else fine_iter_ratio
+    n_mid = min(num_joint_iters, int(num_joint_iters * mr) + 1)
+    n_fine = min(num_joint_iters, int(num_joint_iters * fr) + 1) - n_mid
+    n_color = num_joint_iters - n_mid - n_fine
+    return (("middle", n_mid), ("fine", max(n_fine, 0)), ("color", max(n_color, 0)))
+
+
+class Mapper:
+    """Host-side mapping driver: window selection, frustum masks, the jitted
+    optimize call, keyframe admission and pose write-back."""
+
+    def __init__(
+        self,
+        spec: SceneSpec,
+        mcfg: MapperConfig,
+        rcfg: RenderConfig,
+        seed: int = 1,
+    ):
+        self.spec = spec
+        self.mcfg = mcfg
+        self.rcfg = rcfg
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed + 1000)
+        # runtime-adjustable copies (color refinement rewrites these,
+        # reference :578-586)
+        self.mapping_window_size = mcfg.mapping_window_size
+        self.middle_iter_ratio = mcfg.middle_iter_ratio
+        self.fine_iter_ratio = mcfg.fine_iter_ratio
+        self.fix_color = mcfg.fix_color
+        self.frustum_feature_selection = mcfg.frustum_feature_selection
+
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def optimize_map(
+        self,
+        state: SceneState,
+        num_joint_iters: int,
+        lr_factor: float,
+        idx: int,
+        cur_gt_color,
+        cur_gt_depth,
+        gt_cur_c2w,
+        keyframes,
+        cur_c2w: np.ndarray,
+        BA: bool,
+    ):
+        """One mapping call. Returns (new_state, cur_c2w|None, losses)."""
+        mcfg = dataclasses.replace(
+            self.mcfg,
+            mapping_window_size=self.mapping_window_size,
+            middle_iter_ratio=self.middle_iter_ratio,
+            fine_iter_ratio=self.fine_iter_ratio,
+            fix_color=self.fix_color,
+            frustum_feature_selection=self.frustum_feature_selection,
+        )
+        n_kf = len(keyframes)
+        selected = select_keyframes(
+            self.rng, mcfg, self._next_key(), cur_gt_color, cur_gt_depth,
+            cur_c2w, keyframes.arrays.est_c2w, n_kf,
+        )
+        # window = selected + last keyframe + current frame (reference :267-272)
+        window_positions = list(selected)
+        oldest_slot = None
+        if n_kf > 0:
+            window_positions.append(n_kf - 1)
+            oldest_pos = min(window_positions)
+            oldest_slot = window_positions.index(oldest_pos)
+        F = len(window_positions) + 1  # +1 for the current frame
+
+        cur_color = jnp.asarray(cur_gt_color, jnp.float32)
+        cur_depth = jnp.asarray(cur_gt_depth, jnp.float32)
+        cur_c2w_j = jnp.asarray(cur_c2w, jnp.float32)
+
+        if window_positions:
+            kc, kd, kp = keyframes.gather_window(window_positions)
+            colors = jnp.concatenate([kc, cur_color[None]], axis=0)
+            depths = jnp.concatenate([kd, cur_depth[None]], axis=0)
+            fixed_c2w = jnp.concatenate([kp, cur_c2w_j[None]], axis=0)
+        else:
+            colors = cur_color[None]
+            depths = cur_depth[None]
+            fixed_c2w = cur_c2w_j[None]
+
+        # camera tensors + optimizability mask (oldest fixed, reference :349-363)
+        cam_tensors = jax.vmap(tensor_from_pose)(fixed_c2w)
+        opt_mask = np.zeros((F,), np.float32)
+        if BA:
+            opt_mask[:] = 1.0
+            if oldest_slot is not None:
+                opt_mask[oldest_slot] = 0.0
+        opt_mask_j = jnp.asarray(opt_mask)
+
+        grid_masks = None
+        if self.spec.nice and self.frustum_feature_selection:
+            grid_masks = {}
+            shapes = dict(self.spec.grid_shapes)
+            for name, shape in shapes.items():
+                if name == "grid_coarse":
+                    continue  # all-ones mask (reference :113-115) == no mask
+                grid_masks[name] = frustum_mask(
+                    cur_c2w_j, cur_depth, state.bound, shape,
+                    mcfg.H, mcfg.W, mcfg.fx, mcfg.fy, mcfg.cx, mcfg.cy,
+                )
+
+        pixs_per_image = mcfg.pixels // F
+        plan = stage_plan_for(mcfg, num_joint_iters)
+
+        new_state, new_cams, losses = optimize_map_jit(
+            self.spec, state, colors, depths, fixed_c2w, cam_tensors,
+            opt_mask_j, grid_masks, jnp.asarray(lr_factor, jnp.float32),
+            self._next_key(), None, mcfg, self.rcfg, plan, BA, pixs_per_image,
+        )
+
+        cur_out = None
+        if BA:
+            # write back window poses (reference :521-536)
+            cams_np = np.asarray(new_cams)
+            for slot, pos in enumerate(window_positions):
+                if slot == oldest_slot:
+                    continue
+                c2w = _tensor_to_c2w44(cams_np[slot])
+                keyframes.set_est_c2w(pos, c2w)
+            cur_out = _tensor_to_c2w44(cams_np[-1])
+        return new_state, cur_out, np.asarray(losses)
+
+
+def _tensor_to_c2w44(tensor: np.ndarray) -> np.ndarray:
+    c2w = np.asarray(pose_from_tensor(jnp.asarray(tensor)))
+    return np.concatenate([c2w, np.array([[0, 0, 0, 1.0]], np.float32)], axis=0)

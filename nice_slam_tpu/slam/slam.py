@@ -1,0 +1,418 @@
+"""NiceSLAM orchestrator (L5): allocates state, drives tracking + mapping.
+
+Replaces the reference's 3-process shared-memory runtime
+(src/NICE_SLAM.py:62-90,288-307) with a functional design:
+
+  * the scene map is a single authoritative ``SceneState`` pytree; the
+    mapper returns a new value, the tracker snapshots by holding the
+    reference (the deepcopy at src/Tracker.py:130-142 becomes free);
+  * ``sync_method: strict`` (the default) is exactly a deterministic
+    schedule — map frame 0, then per frame: track, and map every
+    ``every_frame``-th frame (src/Tracker.py:161-167, src/Mapper.py:554-556)
+    — so it runs single-process with zero synchronization;
+  * ``loose``/``free`` run the tracker and mapper(s) as host threads with
+    the reference's poll-on-flag gating; the map hand-off is an atomic
+    pytree-reference swap instead of shared CUDA memory.
+
+Public surface parity: ``NiceSLAM(cfg, args).run()``, the output tree
+``{output}/{ckpts, mesh, tracking_vis|vis, mapping_vis}``, checkpoint
+contents, and the camera preprocessing (crop_size/crop_edge intrinsics
+rescale, src/NICE_SLAM.py:113-135).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.models.pretrain import load_pretrain
+from nice_slam_tpu.models.scene import build_scene
+from nice_slam_tpu.ops.render import RenderConfig
+from nice_slam_tpu.slam.keyframes import KeyframeStore
+from nice_slam_tpu.slam.mapper import Mapper, MapperConfig
+from nice_slam_tpu.slam.tracker import (
+    TrackerConfig,
+    c2w_from_candidate,
+    const_speed_init,
+    tensor_from_c2w,
+    track_frame,
+)
+from nice_slam_tpu.utils.datasets import get_dataset
+from nice_slam_tpu.utils.logger import Logger
+from nice_slam_tpu.utils.visualizer import Visualizer
+
+
+def update_cam(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Apply crop_size / crop_edge to the intrinsics
+    (reference: src/NICE_SLAM.py:113-135)."""
+    cam = dict(cfg["cam"])
+    H, W = cam["H"], cam["W"]
+    fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+    if "crop_size" in cam and cam["crop_size"] is not None:
+        th, tw = cam["crop_size"]
+        fx, cx = fx * tw / W, cx * tw / W
+        fy, cy = fy * th / H, cy * th / H
+        H, W = th, tw
+    edge = cam.get("crop_edge", 0)
+    if edge > 0:
+        H -= 2 * edge
+        W -= 2 * edge
+        cx -= edge
+        cy -= edge
+    cam.update({"H": H, "W": W, "fx": fx, "fy": fy, "cx": cx, "cy": cy})
+    return cam
+
+
+class NiceSLAM:
+    """Main SLAM system. ``nice=True`` -> hierarchical grids; ``False`` -> iMAP*."""
+
+    def __init__(self, cfg: Dict[str, Any], args):
+        self.cfg = cfg
+        self.args = args
+        self.nice = getattr(args, "nice", True)
+        self.verbose = cfg["verbose"]
+        self.sync_method = cfg["sync_method"]
+        self.coarse = bool(cfg["coarse"]) and self.nice
+        self.scale = cfg["scale"]
+
+        self.output = getattr(args, "output", None) or cfg["data"]["output"]
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
+
+        self.cam = update_cam(cfg)
+        self.H, self.W = self.cam["H"], self.cam["W"]
+
+        # scene representation
+        self.spec, self.state = build_scene(cfg, nice=self.nice)
+        if self.nice:
+            self.state = load_pretrain(cfg, self.spec, self.state, self.verbose)
+
+        # data
+        self.frame_reader = get_dataset(cfg, args, self.scale)
+        self.n_img = len(self.frame_reader)
+
+        # pose lists (host side; published to the checkpoint)
+        self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.idx = 0               # latest tracked frame
+        self.mapping_idx = -1      # latest mapped frame
+        self.mapping_cnt = 0
+        self.mapping_first_frame = 0
+        self._state_lock = threading.Lock()
+
+        # configs
+        self.rcfg = RenderConfig.from_cfg(cfg)
+        self.tcfg = TrackerConfig.from_cfg(cfg, self.cam, self.nice)
+        self.mcfg = MapperConfig.from_cfg(cfg, self.cam, self.nice, False)
+
+        kf_capacity = self.n_img // self.mcfg.keyframe_every + 3
+        self.keyframes = KeyframeStore(kf_capacity, self.H, self.W)
+
+        self.mapper = Mapper(self.spec, self.mcfg, self.rcfg)
+        self.coarse_mapper = None
+        if self.coarse:
+            ccfg = MapperConfig.from_cfg(cfg, self.cam, self.nice, True)
+            self.coarse_mapper = Mapper(self.spec, ccfg, self.rcfg, seed=7)
+
+        self.logger = Logger(self.output, self.spec, self.verbose)
+
+        in_demo = "Demo" in self.output
+        self.tracking_visualizer = Visualizer(
+            freq=cfg["tracking"]["vis_freq"],
+            inside_freq=cfg["tracking"]["vis_inside_freq"],
+            vis_dir=os.path.join(self.output, "vis" if in_demo else "tracking_vis"),
+            spec=self.spec, rcfg=self.rcfg, cam=self.cam, verbose=self.verbose,
+        )
+        self.mapping_visualizer = None
+        if not in_demo:  # reference disables mapping vis in demo (Mapper.py:87)
+            self.mapping_visualizer = Visualizer(
+                freq=cfg["mapping"]["vis_freq"],
+                inside_freq=cfg["mapping"]["vis_inside_freq"],
+                vis_dir=os.path.join(self.output, "mapping_vis"),
+                spec=self.spec, rcfg=self.rcfg, cam=self.cam, verbose=self.verbose,
+            )
+
+        self.mesher = None
+        if cfg.get("meshing") is not None:
+            try:
+                from nice_slam_tpu.utils.mesher import Mesher
+
+                self.mesher = Mesher(cfg, self.cam, self.spec, self.output)
+            except ImportError:
+                pass
+
+        self._track_key = jax.random.PRNGKey(int(cfg.get("seed", 42)))
+        self.print_output_desc()
+
+    # ------------------------------------------------------------------
+    def print_output_desc(self) -> None:
+        print(f"INFO: The output folder is {self.output}")
+        if "Demo" in self.output:
+            print(f"INFO: The GT, generated and residual depth/color images can "
+                  f"be found under {self.output}/vis/")
+        else:
+            print(f"INFO: The GT, generated and residual depth/color images can "
+                  f"be found under {self.output}/tracking_vis/ and "
+                  f"{self.output}/mapping_vis/")
+        print(f"INFO: The mesh can be found under {self.output}/mesh/")
+        print(f"INFO: The checkpoint can be found under {self.output}/ckpt/")
+
+    # ------------------------------------------------------------------
+    # Tracking
+    # ------------------------------------------------------------------
+
+    def _next_track_key(self):
+        self._track_key, sub = jax.random.split(self._track_key)
+        return sub
+
+    def track_one(self, idx: int, gt_color, gt_depth, gt_c2w) -> np.ndarray:
+        """Track a single frame (reference Tracker.run body,
+        src/Tracker.py:152-258)."""
+        if idx == 0 or self.tcfg.gt_camera:
+            c2w = np.asarray(gt_c2w, np.float32)
+            if idx % self.tracking_visualizer.freq == 0 and not (
+                idx == 0 and self.cfg["mapping"]["no_vis_on_first_frame"]
+            ):
+                with self._state_lock:
+                    state = self.state
+                self.tracking_visualizer.vis(idx, 0, gt_depth, gt_color, c2w, state)
+        else:
+            pre_c2w = self.estimate_c2w_list[idx - 1]
+            if self.tcfg.const_speed_assumption and idx - 2 >= 0:
+                init_c2w = const_speed_init(pre_c2w, self.estimate_c2w_list[idx - 2])
+            else:
+                init_c2w = pre_c2w
+            init_tensor = tensor_from_c2w(init_c2w)
+
+            with self._state_lock:
+                state = self.state  # functional snapshot (free)
+
+            candidate, losses, _ = track_frame(
+                self.spec, state, init_tensor,
+                jnp.asarray(gt_color), jnp.asarray(gt_depth),
+                self._next_track_key(), self.tcfg, self.rcfg,
+            )
+            c2w = c2w_from_candidate(candidate)
+            if self.verbose:
+                l = np.asarray(losses)
+                print(f"Tracking Frame {idx}  re-rendering loss: "
+                      f"{l[0]:.2f}->{l[-1]:.2f}")
+            if idx % self.tracking_visualizer.freq == 0:
+                self.tracking_visualizer.vis(
+                    idx, self.tcfg.iters - 1, gt_depth, gt_color, c2w, state
+                )
+
+        self.estimate_c2w_list[idx] = c2w
+        self.gt_c2w_list[idx] = np.asarray(gt_c2w, np.float32)
+        self.idx = idx
+        return c2w
+
+    # ------------------------------------------------------------------
+    # Mapping
+    # ------------------------------------------------------------------
+
+    def map_one(self, idx: int, gt_color, gt_depth, gt_c2w,
+                init: bool, coarse: bool = False) -> None:
+        """Map a frame with the main (or coarse) mapper
+        (reference Mapper.run body, src/Mapper.py:542-657)."""
+        mapper = self.coarse_mapper if coarse else self.mapper
+        cfg_m = self.cfg["mapping"]
+
+        if not init:
+            lr_factor = cfg_m["lr_factor"]
+            num_joint_iters = cfg_m["iters"]
+            if idx == self.n_img - 1 and cfg_m["color_refine"] and not coarse:
+                # final color refinement (reference :578-586)
+                outer_joint_iters = 5
+                mapper.mapping_window_size = self.mcfg.mapping_window_size * 2
+                mapper.middle_iter_ratio = 0.0
+                mapper.fine_iter_ratio = 0.0
+                num_joint_iters *= 5
+                mapper.fix_color = True
+                mapper.frustum_feature_selection = False
+            else:
+                outer_joint_iters = 1 if self.nice else 3
+        else:
+            outer_joint_iters = 1
+            lr_factor = cfg_m["lr_first_factor"]
+            num_joint_iters = cfg_m["iters_first"]
+
+        cur_c2w = self.estimate_c2w_list[idx].copy()
+        num_joint_iters = num_joint_iters // outer_joint_iters
+
+        for outer in range(outer_joint_iters):
+            BA = (len(self.keyframes) > 4) and cfg_m["BA"] and not coarse
+
+            with self._state_lock:
+                state = self.state
+            new_state, cur_out, losses = mapper.optimize_map(
+                state, num_joint_iters, lr_factor, idx,
+                gt_color, gt_depth, gt_c2w, self.keyframes, cur_c2w, BA,
+            )
+            with self._state_lock:
+                if coarse:
+                    # the coarse mapper owns only the coarse grid — merge it
+                    # into the authoritative state (the main mapper may have
+                    # advanced the other grids concurrently in loose/free)
+                    grids = dict(self.state.grids)
+                    grids["grid_coarse"] = new_state.grids["grid_coarse"]
+                    self.state = self.state._replace(grids=grids)
+                else:
+                    grids = dict(new_state.grids)
+                    if self.coarse and "grid_coarse" in self.state.grids:
+                        grids["grid_coarse"] = self.state.grids["grid_coarse"]
+                    self.state = new_state._replace(grids=grids)
+
+            if BA and cur_out is not None:
+                cur_c2w = cur_out
+                self.estimate_c2w_list[idx] = cur_c2w
+
+            if outer == outer_joint_iters - 1:
+                if (idx % self.mcfg.keyframe_every == 0 or idx == self.n_img - 2) \
+                        and (idx not in self.keyframes.frame_ids) and not coarse:
+                    self.keyframes.add(idx, gt_color, gt_depth, cur_c2w,
+                                       np.asarray(gt_c2w))
+
+        if self.verbose:
+            prefix = "Coarse " if coarse else ""
+            print(f"{prefix}Mapping Frame {idx}  loss: "
+                  f"{losses[0]:.2f}->{losses[-1]:.2f}")
+
+        self.mapping_first_frame = 1
+        if not coarse:
+            if self.mapping_visualizer is not None and idx % self.mapping_visualizer.freq == 0 \
+                    and not (idx == 0 and cfg_m["no_vis_on_first_frame"]):
+                with self._state_lock:
+                    state = self.state
+                self.mapping_visualizer.vis(
+                    idx, num_joint_iters - 1, gt_depth, gt_color,
+                    self.estimate_c2w_list[idx], state,
+                )
+            if ((not (idx == 0 and cfg_m["no_log_on_first_frame"]))
+                    and idx % cfg_m["ckpt_freq"] == 0) or idx == self.n_img - 1:
+                self.logger.log(idx, self.state, self.estimate_c2w_list,
+                                self.gt_c2w_list, self.keyframes.frame_ids)
+            self.mapping_idx = idx
+            self.mapping_cnt += 1
+
+            mesh_freq = cfg_m["mesh_freq"]
+            if self.mesher is not None:
+                if (idx % mesh_freq == 0) and not (
+                    idx == 0 and cfg_m["no_mesh_on_first_frame"]
+                ):
+                    self._mesh(f"{self.output}/mesh/{idx:05d}_mesh.ply", idx)
+                if idx == self.n_img - 1:
+                    final = f"{self.output}/mesh/final_mesh.ply"
+                    self._mesh(final, idx)
+                    import shutil
+
+                    shutil.copyfile(final, f"{self.output}/mesh/{idx:05d}_mesh.ply")
+                    if self.cfg["meshing"]["eval_rec"]:
+                        self._mesh(f"{self.output}/mesh/final_mesh_eval_rec.ply",
+                                   idx, eval_rec=True)
+
+    def _mesh(self, path: str, idx: int, eval_rec: bool = False) -> None:
+        try:
+            with self._state_lock:
+                state = self.state
+            self.mesher.get_mesh(
+                path, state, self.keyframes, self.estimate_c2w_list, idx,
+                show_forecast=self.cfg["meshing"]["mesh_coarse_level"] and not eval_rec,
+                clean_mesh=self.cfg["meshing"]["clean_mesh"],
+                get_mask_use_all_frames=eval_rec,
+            )
+        except Exception as e:  # meshing must never kill the SLAM loop
+            print(f"WARN: meshing failed at frame {idx}: {e}")
+
+    # ------------------------------------------------------------------
+    # Schedules
+    # ------------------------------------------------------------------
+
+    def run(self) -> None:
+        if self.sync_method == "strict":
+            self._run_strict()
+        else:
+            self._run_threaded()
+
+    def _should_map(self, idx: int) -> bool:
+        return idx % self.mcfg.every_frame == 0 or idx == self.n_img - 1
+
+    def _run_strict(self) -> None:
+        """Deterministic sequential schedule — equivalent to the reference's
+        strict-sync 3-process interleaving (SURVEY.md §2.2)."""
+        for idx in range(self.n_img):
+            _, gt_color, gt_depth, gt_c2w = self.frame_reader[idx]
+            if idx == 0:
+                self.estimate_c2w_list[0] = np.asarray(gt_c2w)
+                self.gt_c2w_list[0] = np.asarray(gt_c2w)
+                self.map_one(0, gt_color, gt_depth, gt_c2w, init=True)
+                if self.coarse_mapper is not None:
+                    self.map_one(0, gt_color, gt_depth, gt_c2w, init=True,
+                                 coarse=True)
+                self.idx = 0
+                continue
+            self.track_one(idx, gt_color, gt_depth, gt_c2w)
+            if self._should_map(idx):
+                self.map_one(idx, gt_color, gt_depth, gt_c2w, init=False)
+                if self.coarse_mapper is not None and idx != self.n_img - 1:
+                    self.map_one(idx, gt_color, gt_depth, gt_c2w, init=False,
+                                 coarse=True)
+
+    def _run_threaded(self) -> None:
+        """loose/free sync: tracker + mapper(s) as concurrent host threads
+        polling shared progress counters (reference :161-175, :550-563)."""
+        every = self.mcfg.every_frame
+        stop = threading.Event()
+
+        def tracker_thread():
+            while self.mapping_first_frame == 0:
+                time.sleep(0.05)
+            for idx in range(1, self.n_img):
+                _, gt_color, gt_depth, gt_c2w = self.frame_reader[idx]
+                if self.sync_method == "loose":
+                    while self.mapping_idx < idx - every - every // 2:
+                        time.sleep(0.05)
+                self.track_one(idx, gt_color, gt_depth, gt_c2w)
+            stop.set()
+
+        def mapper_thread(coarse: bool):
+            prev = -1
+            first = True
+            while True:
+                idx = self.idx
+                if idx == self.n_img - 1 and not first:
+                    pass  # final frame: map it below
+                elif self.sync_method == "loose":
+                    if not (idx == 0 or idx >= prev + every // 2):
+                        time.sleep(0.05)
+                        continue
+                elif self.sync_method == "free":
+                    pass
+                if idx == prev and idx != self.n_img - 1:
+                    time.sleep(0.05)
+                    continue
+                prev = idx
+                _, gt_color, gt_depth, gt_c2w = self.frame_reader[idx]
+                if first:
+                    self.estimate_c2w_list[0] = np.asarray(gt_c2w)
+                    self.gt_c2w_list[0] = np.asarray(gt_c2w)
+                self.map_one(idx, gt_color, gt_depth, gt_c2w, init=first,
+                             coarse=coarse)
+                first = False
+                if idx == self.n_img - 1:
+                    return
+
+        threads = [threading.Thread(target=mapper_thread, args=(False,))]
+        if self.coarse_mapper is not None:
+            threads.append(threading.Thread(target=mapper_thread, args=(True,)))
+        threads.append(threading.Thread(target=tracker_thread))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()

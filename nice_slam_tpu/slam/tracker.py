@@ -1,0 +1,200 @@
+"""Camera tracker: per-frame pose gradient descent, fully on-device.
+
+Behavioral parity with the reference tracker (src/Tracker.py):
+  * pose parameterized as an unnormalized quaternion + translation 7-vector
+    optimized with Adam (optional separate LRs: translation at ``lr``,
+    quaternion at ``0.2*lr`` — :202-219);
+  * constant-speed motion-model initialization (:192-198);
+  * per iteration: sample ``pixels`` rays in the edge-cropped image, filter
+    rays whose scene-box exit precedes the sensor depth (nice mode,
+    :93-104), render at stage 'color', uncertainty-weighted depth L1 +
+    weighted color L1 summed over the dynamic-rejection mask
+    ``tmp < 10*median(tmp)`` (:106-123);
+  * the pose kept for the frame is the one whose *pre-step* loss was
+    minimal — and, faithfully to the reference's in-place optimizer quirk
+    (:245-247 clones the tensor *after* optimizer.step()), the recorded
+    candidate is the post-step tensor of that iteration.
+
+TPU-first: the whole per-frame loop is one jitted ``lax.scan`` — a single
+dispatch per frame instead of the reference's ~10-200 CUDA launch rounds.
+Variable-size ray filters are weight masks; the masked lower-median
+reproduces torch's even-count median convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.models.scene import SceneSpec, SceneState
+from nice_slam_tpu.ops.geometry import (
+    get_samples,
+    pose_from_tensor,
+    ray_aabb_far,
+    tensor_from_pose,
+)
+from nice_slam_tpu.ops.render import RenderConfig, render_batch_ray
+from nice_slam_tpu.slam.optim import plain_adam_init, plain_adam_update
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Static tracking configuration (cfg['tracking'] + camera)."""
+
+    H: int
+    W: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    lr: float
+    iters: int
+    pixels: int
+    seperate_LR: bool
+    w_color_loss: float
+    ignore_edge_W: int
+    ignore_edge_H: int
+    handle_dynamic: bool
+    use_color_in_tracking: bool
+    const_speed_assumption: bool
+    gt_camera: bool
+    nice: bool
+
+    @staticmethod
+    def from_cfg(cfg, cam, nice: bool) -> "TrackerConfig":
+        t = cfg["tracking"]
+        return TrackerConfig(
+            H=cam["H"], W=cam["W"], fx=cam["fx"], fy=cam["fy"],
+            cx=cam["cx"], cy=cam["cy"],
+            lr=t["lr"], iters=t["iters"], pixels=t["pixels"],
+            seperate_LR=t["seperate_LR"], w_color_loss=t["w_color_loss"],
+            ignore_edge_W=t["ignore_edge_W"], ignore_edge_H=t["ignore_edge_H"],
+            handle_dynamic=t["handle_dynamic"],
+            use_color_in_tracking=t["use_color_in_tracking"],
+            const_speed_assumption=t["const_speed_assumption"],
+            gt_camera=t["gt_camera"], nice=nice,
+        )
+
+
+def masked_lower_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """torch.median semantics (lower middle element) over a masked subset."""
+    big = jnp.where(mask, x, jnp.inf)
+    s = jnp.sort(big)
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    k = jnp.maximum((cnt - 1) // 2, 0)
+    return s[k]
+
+
+def tracking_loss(
+    spec: SceneSpec,
+    state: SceneState,
+    cam_tensor: jnp.ndarray,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    key: jax.Array,
+    tcfg: TrackerConfig,
+    rcfg: RenderConfig,
+) -> jnp.ndarray:
+    """One tracking iteration's loss (reference optimize_cam_in_batch,
+    src/Tracker.py:71-128)."""
+    c2w = pose_from_tensor(cam_tensor)
+    He, We = tcfg.ignore_edge_H, tcfg.ignore_edge_W
+    rays_o, rays_d, batch_gt_depth, batch_gt_color = get_samples(
+        key, He, tcfg.H - He, We, tcfg.W - We, tcfg.pixels,
+        tcfg.fx, tcfg.fy, tcfg.cx, tcfg.cy, c2w, gt_depth, gt_color,
+    )
+
+    if tcfg.nice:
+        t_exit = jax.lax.stop_gradient(ray_aabb_far(rays_o, rays_d, state.bound))
+        inside = t_exit >= batch_gt_depth
+    else:
+        inside = jnp.ones_like(batch_gt_depth, dtype=bool)
+
+    depth, uncertainty, color = render_batch_ray(
+        spec, state, rays_o, rays_d, "color", gt_depth=batch_gt_depth,
+        key=None, rcfg=rcfg,
+    )
+    uncertainty = jax.lax.stop_gradient(uncertainty)
+
+    tmp = jnp.abs(batch_gt_depth - depth) / jnp.sqrt(uncertainty + 1e-10)
+    if tcfg.handle_dynamic:
+        med = masked_lower_median(tmp, inside)
+        mask = (tmp < 10.0 * med) & (batch_gt_depth > 0)
+    else:
+        mask = batch_gt_depth > 0
+    mask = mask & inside
+
+    loss = jnp.sum(jnp.where(mask, tmp, 0.0))
+    if tcfg.use_color_in_tracking:
+        color_loss = jnp.sum(
+            jnp.where(mask[:, None], jnp.abs(batch_gt_color - color), 0.0)
+        )
+        loss = loss + tcfg.w_color_loss * color_loss
+    return loss
+
+
+@partial(jax.jit, static_argnames=("spec", "tcfg", "rcfg"))
+def track_frame(
+    spec: SceneSpec,
+    state: SceneState,
+    init_tensor: jnp.ndarray,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    key: jax.Array,
+    tcfg: TrackerConfig,
+    rcfg: RenderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the full per-frame tracking loop on-device.
+
+    Returns (candidate_cam_tensor, losses (iters,), final_cam_tensor).
+    """
+    if tcfg.seperate_LR:
+        # quaternion components at 0.2x LR (reference :212-213)
+        lr = jnp.array([0.2] * 4 + [1.0] * 3, jnp.float32) * tcfg.lr
+    else:
+        lr = jnp.asarray(tcfg.lr, jnp.float32)
+
+    adam0 = plain_adam_init(init_tensor)
+
+    def step(carry, k):
+        cam, adam = carry
+        loss, g = jax.value_and_grad(
+            lambda c: tracking_loss(
+                spec, state, c, gt_color, gt_depth, k, tcfg, rcfg
+            )
+        )(cam)
+        cam2, adam2 = plain_adam_update(cam, g, adam, lr)
+        # candidate recorded post-step, scored by pre-step loss (see module doc)
+        return (cam2, adam2), (loss, cam2)
+
+    keys = jax.random.split(key, tcfg.iters)
+    (cam_final, _), (losses, cams) = jax.lax.scan(step, (init_tensor, adam0), keys)
+    best = jnp.argmin(losses)
+    candidate = cams[best]
+    return candidate, losses, cam_final
+
+
+def const_speed_init(
+    pre_c2w: np.ndarray, pre_pre_c2w: Optional[np.ndarray]
+) -> np.ndarray:
+    """Constant-speed motion model: extrapolate the last relative motion
+    (reference src/Tracker.py:192-198)."""
+    if pre_pre_c2w is None:
+        return pre_c2w
+    delta = pre_c2w @ np.linalg.inv(pre_pre_c2w)
+    return delta @ pre_c2w
+
+
+def c2w_from_candidate(candidate: jnp.ndarray) -> np.ndarray:
+    """7-vector -> 4x4 with homogeneous bottom row (reference :248-252)."""
+    c2w = np.asarray(pose_from_tensor(candidate))
+    return np.concatenate([c2w, np.array([[0, 0, 0, 1.0]], np.float32)], axis=0)
+
+
+def tensor_from_c2w(c2w) -> jnp.ndarray:
+    return tensor_from_pose(jnp.asarray(c2w, jnp.float32))

@@ -1,0 +1,413 @@
+"""RGB-D dataset readers (L1).
+
+Same dataset families and preprocessing semantics as the reference loader
+(reference: src/utils/datasets.py): color BGR->RGB /255, depth /
+png_depth_scale * scale, optional undistortion (color only), optional
+resize-to-crop_size (bilinear color / nearest depth) and crop_edge, the
+world-convention y/z axis flips, ScanNet numeric frame sort, TUM timestamp
+association (<=0.08 s) with frame-rate subsampling and first-pose
+normalization.
+
+Differences:
+  * frames are returned as host numpy arrays — the SLAM runtime moves them
+    to TPU once per frame (the reference moved every frame to GPU inside
+    the dataset, src/utils/datasets.py:113);
+  * a ``synthetic`` procedural box-room dataset is added for tests/benches;
+  * an async prefetcher replaces torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Any, Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from nice_slam_tpu.ops.geometry import as_intrinsics_matrix
+
+
+def readEXR_onlydepth(filename: str) -> np.ndarray:
+    """Depth channel from an EXR file (CoFusion).
+
+    Uses OpenCV's EXR support (the reference used the OpenEXR package,
+    src/utils/datasets.py:12-44).  Requires OPENCV_IO_ENABLE_OPENEXR=1.
+    """
+    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+    img = cv2.imread(filename, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError(f"cannot read EXR depth {filename}")
+    if img.ndim == 3:
+        img = img[..., 0]
+    return img.astype(np.float32)
+
+
+class BaseDataset:
+    """Sequence of (index, color[H,W,3] f32, depth[H,W] f32, c2w[4,4] f32)."""
+
+    def __init__(self, cfg: Dict[str, Any], args=None, scale: float = 1.0):
+        self.name = cfg["dataset"]
+        self.scale = scale
+        self.png_depth_scale = cfg["cam"]["png_depth_scale"]
+        self.H = cfg["cam"]["H"]
+        self.W = cfg["cam"]["W"]
+        self.fx = cfg["cam"]["fx"]
+        self.fy = cfg["cam"]["fy"]
+        self.cx = cfg["cam"]["cx"]
+        self.cy = cfg["cam"]["cy"]
+        self.distortion = (
+            np.array(cfg["cam"]["distortion"]) if "distortion" in cfg["cam"] else None
+        )
+        self.crop_size = cfg["cam"].get("crop_size")
+        self.crop_edge = cfg["cam"]["crop_edge"]
+
+        input_folder = getattr(args, "input_folder", None) if args else None
+        self.input_folder = input_folder or cfg["data"].get("input_folder", "")
+
+        self.color_paths: List[str] = []
+        self.depth_paths: List[str] = []
+        self.poses: List[np.ndarray] = []
+        self.n_img = 0
+
+    def __len__(self) -> int:
+        return self.n_img
+
+    def _read_depth(self, path: str) -> np.ndarray:
+        if path.endswith(".exr"):
+            return readEXR_onlydepth(path)
+        d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        return d.astype(np.float32)
+
+    def __getitem__(self, index: int):
+        color = cv2.imread(self.color_paths[index])
+        depth = self._read_depth(self.depth_paths[index])
+        if self.distortion is not None:
+            K = as_intrinsics_matrix([self.fx, self.fy, self.cx, self.cy])
+            color = cv2.undistort(color, K, self.distortion)
+
+        color = cv2.cvtColor(color, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        depth = depth.astype(np.float32) / self.png_depth_scale * self.scale
+        H, W = depth.shape
+        if color.shape[:2] != (H, W):
+            color = cv2.resize(color, (W, H))
+
+        if self.crop_size is not None:
+            th, tw = self.crop_size
+            color = cv2.resize(color, (tw, th), interpolation=cv2.INTER_LINEAR)
+            depth = cv2.resize(depth, (tw, th), interpolation=cv2.INTER_NEAREST)
+
+        edge = self.crop_edge
+        if edge > 0:
+            color = color[edge:-edge, edge:-edge]
+            depth = depth[edge:-edge, edge:-edge]
+
+        pose = self.poses[index].copy()
+        pose[:3, 3] *= self.scale
+        return index, color, depth, pose.astype(np.float32)
+
+
+class Replica(BaseDataset):
+    """Replica renders: results/frame*.jpg + depth*.png + traj.txt."""
+
+    def __init__(self, cfg, args=None, scale=1.0):
+        super().__init__(cfg, args, scale)
+        self.color_paths = sorted(glob.glob(f"{self.input_folder}/results/frame*.jpg"))
+        self.depth_paths = sorted(glob.glob(f"{self.input_folder}/results/depth*.png"))
+        self.n_img = len(self.color_paths)
+        self._load_poses(f"{self.input_folder}/traj.txt")
+
+    def _load_poses(self, path):
+        with open(path) as f:
+            lines = f.readlines()
+        for i in range(self.n_img):
+            c2w = np.array(list(map(float, lines[i].split()))).reshape(4, 4)
+            c2w[:3, 1] *= -1
+            c2w[:3, 2] *= -1
+            self.poses.append(c2w.astype(np.float32))
+
+
+class Azure(BaseDataset):
+    """Azure Kinect captures with an Open3D .log trajectory (or identity)."""
+
+    def __init__(self, cfg, args=None, scale=1.0):
+        super().__init__(cfg, args, scale)
+        self.color_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, "color", "*.jpg"))
+        )
+        self.depth_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, "depth", "*.png"))
+        )
+        self.n_img = len(self.color_paths)
+        self._load_poses(os.path.join(self.input_folder, "scene", "trajectory.log"))
+
+    def _load_poses(self, path):
+        if os.path.exists(path):
+            with open(path) as f:
+                content = f.readlines()
+            for i in range(0, len(content), 5):
+                c2w = np.array(
+                    list(map(float, ("".join(content[i + 1 : i + 5])).strip().split()))
+                ).reshape(4, 4)
+                c2w[:3, 1] *= -1
+                c2w[:3, 2] *= -1
+                self.poses.append(c2w.astype(np.float32))
+        else:
+            self.poses = [np.eye(4, dtype=np.float32) for _ in range(self.n_img)]
+
+
+class ScanNet(BaseDataset):
+    """ScanNet exports: frames/{color,depth,pose} with numeric filenames."""
+
+    def __init__(self, cfg, args=None, scale=1.0):
+        super().__init__(cfg, args, scale)
+        self.input_folder = os.path.join(self.input_folder, "frames")
+        num = lambda p: int(os.path.basename(p).split(".")[0])
+        self.color_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, "color", "*.jpg")), key=num
+        )
+        self.depth_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, "depth", "*.png")), key=num
+        )
+        self._load_poses(os.path.join(self.input_folder, "pose"))
+        self.n_img = len(self.color_paths)
+
+    def _load_poses(self, path):
+        num = lambda p: int(os.path.basename(p).split(".")[0])
+        for pose_path in sorted(glob.glob(os.path.join(path, "*.txt")), key=num):
+            with open(pose_path) as f:
+                c2w = np.array(
+                    [list(map(float, line.split())) for line in f.readlines()]
+                ).reshape(4, 4)
+            c2w[:3, 1] *= -1
+            c2w[:3, 2] *= -1
+            self.poses.append(c2w.astype(np.float32))
+
+
+class CoFusion(BaseDataset):
+    """CoFusion synthetic sequences: colour/*.png + noisy EXR depth.
+
+    Identity proxy poses — the reference could not align CoFusion's frame
+    either (src/utils/datasets.py:223-231); ATE alignment absorbs it.
+    """
+
+    def __init__(self, cfg, args=None, scale=1.0):
+        super().__init__(cfg, args, scale)
+        self.color_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, "colour", "*.png"))
+        )
+        self.depth_paths = sorted(
+            glob.glob(os.path.join(self.input_folder, "depth_noise", "*.exr"))
+        )
+        self.n_img = len(self.color_paths)
+        self.poses = [np.eye(4, dtype=np.float32) for _ in range(self.n_img)]
+
+
+class TUM_RGBD(BaseDataset):
+    """TUM RGB-D: timestamped rgb/depth/groundtruth association."""
+
+    def __init__(self, cfg, args=None, scale=1.0):
+        super().__init__(cfg, args, scale)
+        self.color_paths, self.depth_paths, self.poses = self._loadtum(
+            self.input_folder, frame_rate=32
+        )
+        self.n_img = len(self.color_paths)
+
+    @staticmethod
+    def _parse_list(filepath, skiprows=0):
+        return np.loadtxt(filepath, delimiter=" ", dtype=np.str_, skiprows=skiprows)
+
+    @staticmethod
+    def _associate(t_img, t_depth, t_pose, max_dt=0.08):
+        associations = []
+        for i, t in enumerate(t_img):
+            j = np.argmin(np.abs(t_depth - t))
+            k = np.argmin(np.abs(t_pose - t))
+            if np.abs(t_depth[j] - t) < max_dt and np.abs(t_pose[k] - t) < max_dt:
+                associations.append((i, j, k))
+        return associations
+
+    def _loadtum(self, datapath, frame_rate=-1):
+        if os.path.isfile(os.path.join(datapath, "groundtruth.txt")):
+            pose_list = os.path.join(datapath, "groundtruth.txt")
+        else:
+            pose_list = os.path.join(datapath, "pose.txt")
+        image_data = self._parse_list(os.path.join(datapath, "rgb.txt"))
+        depth_data = self._parse_list(os.path.join(datapath, "depth.txt"))
+        pose_data = self._parse_list(pose_list, skiprows=1)
+        pose_vecs = pose_data[:, 1:].astype(np.float64)
+
+        t_img = image_data[:, 0].astype(np.float64)
+        t_depth = depth_data[:, 0].astype(np.float64)
+        t_pose = pose_data[:, 0].astype(np.float64)
+        associations = self._associate(t_img, t_depth, t_pose)
+
+        indices = [0]
+        for i in range(1, len(associations)):
+            t0 = t_img[associations[indices[-1]][0]]
+            t1 = t_img[associations[i][0]]
+            if t1 - t0 > 1.0 / frame_rate:
+                indices.append(i)
+
+        images, depths, poses = [], [], []
+        inv_pose = None
+        for ix in indices:
+            i, j, k = associations[ix]
+            images.append(os.path.join(datapath, str(image_data[i, 1])))
+            depths.append(os.path.join(datapath, str(depth_data[j, 1])))
+            c2w = self._pose_from_quat(pose_vecs[k])
+            if inv_pose is None:
+                inv_pose = np.linalg.inv(c2w)
+                c2w = np.eye(4)
+            else:
+                c2w = inv_pose @ c2w
+            c2w[:3, 1] *= -1
+            c2w[:3, 2] *= -1
+            poses.append(c2w.astype(np.float32))
+        return images, depths, poses
+
+    @staticmethod
+    def _pose_from_quat(pvec):
+        from scipy.spatial.transform import Rotation
+
+        pose = np.eye(4)
+        pose[:3, :3] = Rotation.from_quat(pvec[3:]).as_matrix()
+        pose[:3, 3] = pvec[:3]
+        return pose
+
+
+class Synthetic(BaseDataset):
+    """Procedural box-room RGB-D sequence with exact poses and depth.
+
+    A camera orbits inside an axis-aligned box; per-pixel depth is the
+    analytic ray/box exit distance and color encodes the hit wall + a
+    position checker pattern.  Enables full tracking+mapping integration
+    tests in seconds with known ground truth (SURVEY.md §4's synthetic
+    fixture recommendation).
+
+    Extra config (optional, under ``data``): ``n_frames``, ``room`` bound.
+    """
+
+    def __init__(self, cfg, args=None, scale=1.0):
+        super().__init__(cfg, args, scale)
+        self.n_img = int(cfg["data"].get("n_frames", 40))
+        room = cfg["data"].get("room", [[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]])
+        self.room = np.asarray(room, dtype=np.float32)
+        self.poses = [self._pose(i) for i in range(self.n_img)]
+        self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _pose(self, i: int) -> np.ndarray:
+        """Smooth orbit: small circle around the room center, looking outward."""
+        t = i / max(self.n_img, 1)
+        ang = 0.5 * np.pi * t
+        center = self.room.mean(axis=1)
+        radius = 0.25 * float(np.min(self.room[:, 1] - self.room[:, 0]))
+        eye = center + radius * np.array(
+            [np.cos(ang), 0.1 * np.sin(2 * ang), np.sin(ang)], dtype=np.float32
+        )
+        # look away from center (at the walls), camera -z = view direction
+        view = eye - center
+        view = view / np.linalg.norm(view)
+        up = np.array([0.0, 1.0, 0.0], dtype=np.float32)
+        zaxis = -view  # camera +z is behind
+        xaxis = np.cross(up, zaxis)
+        xaxis /= np.linalg.norm(xaxis)
+        yaxis = np.cross(zaxis, xaxis)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0] = xaxis
+        c2w[:3, 1] = yaxis
+        c2w[:3, 2] = zaxis
+        c2w[:3, 3] = eye
+        return c2w
+
+    def _render(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        if index in self._cache:
+            return self._cache[index]
+        H, W = self.H, self.W
+        c2w = self.poses[index]
+        j, i = np.meshgrid(np.arange(H, dtype=np.float32),
+                           np.arange(W, dtype=np.float32), indexing="ij")
+        dirs = np.stack(
+            [(i - self.cx) / self.fx, -(j - self.cy) / self.fy, -np.ones_like(i)], -1
+        )
+        rays_d = dirs @ c2w[:3, :3].T
+        rays_o = c2w[:3, 3]
+        # exit distance from the (open) box along each ray
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (self.room[None, None, :, :] - rays_o[None, None, :, None]) / rays_d[
+                ..., None
+            ]
+        t_exit = np.min(np.max(t, axis=-1), axis=-1)
+        depth = t_exit.astype(np.float32)
+        hit = rays_o[None, None, :] + rays_d * depth[..., None]
+        # wall id = argmax |hit - center| scaled; color = wall base + checker
+        rel = (hit - self.room[:, 0]) / (self.room[:, 1] - self.room[:, 0])
+        checker = ((np.floor(hit[..., 0] * 2) + np.floor(hit[..., 1] * 2)
+                    + np.floor(hit[..., 2] * 2)) % 2).astype(np.float32)
+        color = np.stack(
+            [
+                0.2 + 0.6 * rel[..., 0],
+                0.2 + 0.6 * rel[..., 1],
+                0.3 + 0.4 * checker,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        out = (np.clip(color, 0, 1), depth)
+        self._cache[index] = out
+        return out
+
+    def __getitem__(self, index: int):
+        color, depth = self._render(index)
+        edge = self.crop_edge
+        if edge > 0:
+            color = color[edge:-edge, edge:-edge]
+            depth = depth[edge:-edge, edge:-edge]
+        pose = self.poses[index].copy()
+        pose[:3, 3] *= self.scale
+        return index, color, depth * self.scale, pose
+
+
+class Prefetcher:
+    """Background-thread frame prefetcher (replaces torch DataLoader workers,
+    reference src/Tracker.py:64-65)."""
+
+    def __init__(self, dataset: BaseDataset, depth: int = 2):
+        self.dataset = dataset
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        for i in range(len(self.dataset)):
+            if self._stop.is_set():
+                return
+            self.q.put(self.dataset[i])
+        self.q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
+
+
+dataset_dict = {
+    "replica": Replica,
+    "scannet": ScanNet,
+    "cofusion": CoFusion,
+    "azure": Azure,
+    "tumrgbd": TUM_RGBD,
+    "synthetic": Synthetic,
+}
+
+
+def get_dataset(cfg: Dict[str, Any], args=None, scale: float = 1.0) -> BaseDataset:
+    """Registry lookup (reference: src/utils/datasets.py:47-48,324-330)."""
+    return dataset_dict[cfg["dataset"]](cfg, args, scale)

@@ -1,0 +1,82 @@
+"""Trilinear grid interpolation: parity vs torch.nn.functional.grid_sample.
+
+The reference samples features with F.grid_sample(mode='bilinear',
+padding_mode='border', align_corners=True) on a [1, C, Z, Y, X] grid
+(reference: src/conv_onet/models/decoder.py:168-175).  Our channels-last
+gather+lerp implementation must match it bit-for-bit (up to f32 rounding).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from nice_slam_tpu.ops.geometry import normalize_3d_coordinate
+from nice_slam_tpu.ops.interp import sample_grid_feature, trilinear_interp
+
+
+def _torch_reference(grid_xyzc, p_nor):
+    """Evaluate torch grid_sample on the equivalent [1,C,Z,Y,X] layout."""
+    nx, ny, nz, C = grid_xyzc.shape
+    g = torch.from_numpy(np.asarray(grid_xyzc)).permute(3, 2, 1, 0)[None]  # 1,C,Z,Y,X
+    v = torch.from_numpy(np.asarray(p_nor))[None, :, None, None, :]  # 1,N,1,1,3 (x,y,z)
+    out = F.grid_sample(
+        g, v, padding_mode="border", align_corners=True, mode="bilinear"
+    )
+    return out[0, :, :, 0, 0].T.numpy()  # (N, C)
+
+
+def test_matches_torch_grid_sample_inside():
+    key = jax.random.PRNGKey(0)
+    grid = jax.random.normal(key, (7, 5, 9, 4))
+    p = jax.random.uniform(jax.random.PRNGKey(1), (256, 3), minval=-0.99, maxval=0.99)
+    ours = np.asarray(trilinear_interp(grid, p))
+    ref = _torch_reference(grid, p)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_matches_torch_grid_sample_border():
+    # Points outside [-1,1] must clamp to the border exactly like torch.
+    key = jax.random.PRNGKey(2)
+    grid = jax.random.normal(key, (4, 6, 3, 8))
+    p = jax.random.uniform(jax.random.PRNGKey(3), (128, 3), minval=-2.5, maxval=2.5)
+    ours = np.asarray(trilinear_interp(grid, p))
+    ref = _torch_reference(grid, p)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_world_space_sampling():
+    bound = jnp.array([[-2.0, 2.0], [0.0, 4.0], [-1.0, 3.0]])
+    grid = jax.random.normal(jax.random.PRNGKey(4), (8, 8, 8, 2))
+    p_world = jnp.array([[0.0, 2.0, 1.0], [-2.0, 0.0, -1.0]])
+    got = sample_grid_feature(grid, p_world, bound)
+    p_nor = normalize_3d_coordinate(p_world, bound)
+    expect = trilinear_interp(grid, p_nor)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-6)
+
+
+def test_grid_gradient_flows():
+    grid = jnp.zeros((4, 4, 4, 2))
+    p = jnp.array([[0.1, -0.2, 0.3]])
+
+    def loss(g):
+        return jnp.sum(trilinear_interp(g, p))
+
+    dg = jax.grad(loss)(grid)
+    # gradient mass is the trilinear weights: sums to 1 per channel
+    np.testing.assert_allclose(float(jnp.sum(dg)), 2.0, atol=1e-5)
+    # and is concentrated on the 8 corners around the point
+    assert int(jnp.sum(dg != 0)) <= 8 * 2
+
+
+def test_point_gradient_zero_outside_border():
+    grid = jax.random.normal(jax.random.PRNGKey(5), (4, 4, 4, 1))
+
+    def f(p):
+        return jnp.sum(trilinear_interp(grid, p))
+
+    g_inside = jax.grad(f)(jnp.array([[0.2, 0.1, -0.3]]))
+    g_outside = jax.grad(f)(jnp.array([[1.7, 1.9, -1.8]]))
+    assert float(jnp.max(jnp.abs(g_inside))) > 0
+    np.testing.assert_allclose(np.asarray(g_outside), 0.0, atol=1e-7)
