@@ -148,7 +148,7 @@ class Logger:
             "selected_keyframes": selected_keyframes,
             "idx": idx,
             # extras for native resume (ignored by reference consumers)
-            "bound": torch.from_numpy(np.asarray(state.bound)),
+            "bound": torch.from_numpy(np.array(state.bound)),
         }
         torch.save(payload, path)
         if self.verbose:
