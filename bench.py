@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: camera-tracking throughput on the Replica workload.
+
+Measures steady-state frames/s of the fully-jitted tracker (10 Adam
+iterations x 200 sampled rays per frame, N_samples 32 + N_surface 16 —
+the reference's Replica defaults, configs/Replica/replica.yaml) on a
+Replica-room-scale NICE scene, on whatever accelerator JAX provides
+(TPU in CI, CPU locally).
+
+Baseline: the NICE-SLAM paper reports ~47 ms/iteration of tracking on an
+RTX 3090 (BASELINE.md) -> 0.47 s/frame at 10 iterations ~= 2.13 FPS.
+``vs_baseline`` is ours / 2.13 (higher is better).
+
+Prints ONE JSON line:
+  {"metric": "tracking_fps_replica_workload", "value": N,
+   "unit": "frames/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_FPS = 1.0 / (0.047 * 10)  # paper: 47 ms/iter x 10 iters
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nice_slam_tpu.models.scene import build_scene
+    from nice_slam_tpu.ops.render import RenderConfig
+    from nice_slam_tpu.slam.tracker import TrackerConfig, track_frame, tensor_from_c2w
+    from nice_slam_tpu.utils.datasets import Synthetic
+
+    # Replica-scale scene (room0 bound) + Replica camera and workload.
+    cfg = {
+        "dataset": "synthetic", "scale": 1, "occupancy": True, "coarse": False,
+        "sync_method": "strict", "verbose": False, "low_gpu_mem": False,
+        "grid_len": {"coarse": 2, "middle": 0.32, "fine": 0.16, "color": 0.16,
+                     "bound_divisible": 0.32},
+        "model": {"c_dim": 32, "coarse_bound_enlarge": 2,
+                  "pos_embedding_method": "fourier"},
+        "data": {"dim": 3, "n_frames": 30,
+                 "room": [[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]]},
+        "mapping": {"bound": [[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]]},
+        "rendering": {"N_samples": 32, "N_surface": 16, "N_importance": 0,
+                      "lindisp": False, "perturb": 0.0},
+        "cam": {"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0, "cx": 599.5,
+                "cy": 339.5, "png_depth_scale": 6553.5, "crop_edge": 0},
+        "tracking": {"lr": 0.001, "iters": 10, "pixels": 200,
+                     "seperate_LR": False, "w_color_loss": 0.5,
+                     "ignore_edge_W": 100, "ignore_edge_H": 100,
+                     "handle_dynamic": True, "use_color_in_tracking": True,
+                     "const_speed_assumption": True, "gt_camera": False},
+    }
+
+    spec, state = build_scene(cfg, nice=True, seed=0)
+    rcfg = RenderConfig.from_cfg(cfg)
+    tcfg = TrackerConfig.from_cfg(cfg, cfg["cam"], nice=True)
+
+    ds = Synthetic(cfg)
+    frames = [ds[i] for i in range(12)]
+
+    key = jax.random.PRNGKey(0)
+
+    def run_frame(i, k):
+        _, color, depth, c2w = frames[i % len(frames)]
+        init = tensor_from_c2w(c2w)
+        cand, losses, _ = track_frame(
+            spec, state, init, jnp.asarray(color), jnp.asarray(depth), k,
+            tcfg, rcfg,
+        )
+        return cand
+
+    # pre-upload frames once (steady state: camera images stream per frame,
+    # but host->HBM of one 680x1200 RGB-D frame is ~13 MB, negligible)
+    frames = [(i, jnp.asarray(c), jnp.asarray(d), np.asarray(p))
+              for (i, c, d, p) in frames]
+
+    # warmup (compile)
+    for i in range(2):
+        key, k = jax.random.split(key)
+        jax.block_until_ready(run_frame(i, k))
+
+    n_bench = 20
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n_bench):
+        key, k = jax.random.split(key)
+        out = run_frame(i, k)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = n_bench / dt
+
+    print(json.dumps({
+        "metric": "tracking_fps_replica_workload",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,8 @@
 //
 // Build: see csrc/build.sh (g++ -O3 -shared -fPIC).
 
+#include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -269,5 +271,225 @@ int64_t mesh_components(const float* verts, int64_t n_verts,
 }
 
 void free_buffer(void* ptr) { std::free(ptr); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BVH raycaster: offscreen mesh depth rendering.
+//
+// Replaces Open3D's offscreen depth capture used by the reference's 2D
+// reconstruction metric (src/tools/eval_recon.py:155-204).  Median-split
+// BVH, Moller-Trumbore intersection, pinhole camera with the standard CV
+// convention (+z forward): depth buffer = hit z in camera space (0 = miss),
+// matching o3d capture_depth_float_buffer semantics.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct AABB {
+  float lo[3] = {1e30f, 1e30f, 1e30f};
+  float hi[3] = {-1e30f, -1e30f, -1e30f};
+  void grow(const float* p) {
+    for (int k = 0; k < 3; ++k) {
+      if (p[k] < lo[k]) lo[k] = p[k];
+      if (p[k] > hi[k]) hi[k] = p[k];
+    }
+  }
+  void grow(const AABB& o) {
+    grow(o.lo);
+    grow(o.hi);
+  }
+};
+
+struct BVHNode {
+  AABB box;
+  int32_t left = -1, right = -1;  // children; -1 for leaf
+  int32_t start = 0, count = 0;   // triangle range for leaves
+};
+
+struct BVH {
+  std::vector<BVHNode> nodes;
+  std::vector<int32_t> tri_order;
+  const float* verts;
+  const int64_t* tris;
+
+  void build(const float* v, const int64_t* t, int64_t n_tris) {
+    verts = v;
+    tris = t;
+    tri_order.resize(static_cast<size_t>(n_tris));
+    for (int64_t i = 0; i < n_tris; ++i) tri_order[static_cast<size_t>(i)] = static_cast<int32_t>(i);
+    std::vector<std::array<float, 3>> centroids(static_cast<size_t>(n_tris));
+    for (int64_t i = 0; i < n_tris; ++i) {
+      for (int k = 0; k < 3; ++k) {
+        centroids[static_cast<size_t>(i)][static_cast<size_t>(k)] =
+            (v[3 * t[3 * i] + k] + v[3 * t[3 * i + 1] + k] +
+             v[3 * t[3 * i + 2] + k]) / 3.f;
+      }
+    }
+    nodes.reserve(static_cast<size_t>(2 * n_tris));
+    build_node(0, static_cast<int32_t>(n_tris), centroids);
+  }
+
+  int32_t build_node(int32_t start, int32_t count,
+                     const std::vector<std::array<float, 3>>& cent) {
+    const int32_t idx = static_cast<int32_t>(nodes.size());
+    nodes.emplace_back();
+    AABB box;
+    for (int32_t i = start; i < start + count; ++i) {
+      const int32_t tri = tri_order[static_cast<size_t>(i)];
+      for (int c = 0; c < 3; ++c) box.grow(verts + 3 * tris[3 * tri + c]);
+    }
+    nodes[static_cast<size_t>(idx)].box = box;
+    if (count <= 4) {
+      nodes[static_cast<size_t>(idx)].start = start;
+      nodes[static_cast<size_t>(idx)].count = count;
+      return idx;
+    }
+    // split along widest axis at median centroid
+    int axis = 0;
+    float widest = -1.f;
+    for (int k = 0; k < 3; ++k) {
+      const float w = box.hi[k] - box.lo[k];
+      if (w > widest) {
+        widest = w;
+        axis = k;
+      }
+    }
+    const int32_t mid = start + count / 2;
+    std::nth_element(
+        tri_order.begin() + start, tri_order.begin() + mid,
+        tri_order.begin() + start + count,
+        [&](int32_t a, int32_t b) {
+          return cent[static_cast<size_t>(a)][static_cast<size_t>(axis)] <
+                 cent[static_cast<size_t>(b)][static_cast<size_t>(axis)];
+        });
+    const int32_t l = build_node(start, mid - start, cent);
+    const int32_t r = build_node(mid, start + count - mid, cent);
+    nodes[static_cast<size_t>(idx)].left = l;
+    nodes[static_cast<size_t>(idx)].right = r;
+    return idx;
+  }
+
+  static bool hit_box(const AABB& b, const float* o, const float* inv_d,
+                      float t_max) {
+    float t0 = 0.f, t1 = t_max;
+    for (int k = 0; k < 3; ++k) {
+      float ta = (b.lo[k] - o[k]) * inv_d[k];
+      float tb = (b.hi[k] - o[k]) * inv_d[k];
+      if (ta > tb) std::swap(ta, tb);
+      if (ta > t0) t0 = ta;
+      if (tb < t1) t1 = tb;
+      if (t0 > t1) return false;
+    }
+    return true;
+  }
+
+  // returns nearest hit t (ray parameter), or -1
+  float cast(const float* o, const float* d) const {
+    float inv_d[3];
+    for (int k = 0; k < 3; ++k)
+      inv_d[k] = 1.f / (std::fabs(d[k]) > 1e-12f ? d[k]
+                                                 : (d[k] >= 0 ? 1e-12f : -1e-12f));
+    float best = 1e30f;
+    int32_t stack[64];
+    int sp = 0;
+    stack[sp++] = 0;
+    while (sp > 0) {
+      const BVHNode& node = nodes[static_cast<size_t>(stack[--sp])];
+      if (!hit_box(node.box, o, inv_d, best)) continue;
+      if (node.left < 0) {
+        for (int32_t i = node.start; i < node.start + node.count; ++i) {
+          const int32_t tri = tri_order[static_cast<size_t>(i)];
+          const float* a = verts + 3 * tris[3 * tri];
+          const float* b = verts + 3 * tris[3 * tri + 1];
+          const float* c = verts + 3 * tris[3 * tri + 2];
+          // Moller-Trumbore (two-sided)
+          float e1[3], e2[3], pv[3], tv[3], qv[3];
+          for (int k = 0; k < 3; ++k) {
+            e1[k] = b[k] - a[k];
+            e2[k] = c[k] - a[k];
+          }
+          pv[0] = d[1] * e2[2] - d[2] * e2[1];
+          pv[1] = d[2] * e2[0] - d[0] * e2[2];
+          pv[2] = d[0] * e2[1] - d[1] * e2[0];
+          const float det = e1[0] * pv[0] + e1[1] * pv[1] + e1[2] * pv[2];
+          if (std::fabs(det) < 1e-12f) continue;
+          const float inv_det = 1.f / det;
+          for (int k = 0; k < 3; ++k) tv[k] = o[k] - a[k];
+          const float u =
+              (tv[0] * pv[0] + tv[1] * pv[1] + tv[2] * pv[2]) * inv_det;
+          if (u < 0.f || u > 1.f) continue;
+          qv[0] = tv[1] * e1[2] - tv[2] * e1[1];
+          qv[1] = tv[2] * e1[0] - tv[0] * e1[2];
+          qv[2] = tv[0] * e1[1] - tv[1] * e1[0];
+          const float vv =
+              (d[0] * qv[0] + d[1] * qv[1] + d[2] * qv[2]) * inv_det;
+          if (vv < 0.f || u + vv > 1.f) continue;
+          const float t =
+              (e2[0] * qv[0] + e2[1] * qv[1] + e2[2] * qv[2]) * inv_det;
+          if (t > 1e-6f && t < best) best = t;
+        }
+      } else {
+        stack[sp++] = node.left;
+        stack[sp++] = node.right;
+      }
+    }
+    return best < 1e30f ? best : -1.f;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Opaque BVH handle API.
+void* bvh_build(const float* verts, int64_t n_verts, const int64_t* tris,
+                int64_t n_tris) {
+  (void)n_verts;
+  BVH* bvh = new BVH();
+  bvh->build(verts, tris, n_tris);
+  return bvh;
+}
+
+void bvh_free(void* handle) { delete static_cast<BVH*>(handle); }
+
+// Render a z-depth buffer (H*W floats, row-major; 0 where no hit) through a
+// standard CV pinhole camera: +z forward, x right, y down.
+// c2w: 4x4 row-major camera-to-world.
+void bvh_render_depth(void* handle, const float* c2w, int32_t H, int32_t W,
+                      float fx, float fy, float cx, float cy, float z_far,
+                      float* out_depth) {
+  const BVH* bvh = static_cast<const BVH*>(handle);
+  const float ox = c2w[3], oy = c2w[7], oz = c2w[11];
+  const float o[3] = {ox, oy, oz};
+  for (int32_t vpix = 0; vpix < H; ++vpix) {
+    for (int32_t upix = 0; upix < W; ++upix) {
+      const float xc = (static_cast<float>(upix) - cx) / fx;
+      const float yc = (static_cast<float>(vpix) - cy) / fy;
+      // camera dir (xc, yc, 1) -> world
+      float d[3];
+      d[0] = c2w[0] * xc + c2w[1] * yc + c2w[2];
+      d[1] = c2w[4] * xc + c2w[5] * yc + c2w[6];
+      d[2] = c2w[8] * xc + c2w[9] * yc + c2w[10];
+      const float t = bvh->cast(o, d);
+      float depth = 0.f;
+      if (t > 0.f) {
+        depth = t;  // ray parameter * |dir_z-normalization|: dir has unit z in
+                    // camera space, so t IS the z-depth
+        if (depth > z_far) depth = 0.f;
+      }
+      out_depth[vpix * W + upix] = depth;
+    }
+  }
+}
+
+// Cast arbitrary rays; out_t gets the hit parameter (-1 on miss).
+void bvh_cast_rays(void* handle, const float* origins, const float* dirs,
+                   int64_t n_rays, float* out_t) {
+  const BVH* bvh = static_cast<const BVH*>(handle);
+  for (int64_t i = 0; i < n_rays; ++i) {
+    out_t[i] = bvh->cast(origins + 3 * i, dirs + 3 * i);
+  }
+}
 
 }  // extern "C"

@@ -54,8 +54,101 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
     ]
     lib.free_buffer.argtypes = [ctypes.c_void_p]
+    lib.bvh_build.restype = ctypes.c_void_p
+    lib.bvh_build.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.bvh_free.argtypes = [ctypes.c_void_p]
+    lib.bvh_render_depth.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.bvh_cast_rays.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     return lib
+
+
+class MeshRaycaster:
+    """BVH-accelerated depth renderer over a triangle mesh (native).
+
+    Replaces Open3D's offscreen depth capture for the 2D reconstruction
+    metric (reference: src/tools/eval_recon.py:155-204).  CV pinhole
+    convention: +z forward, x right, y down; depth = camera-space z.
+    """
+
+    def __init__(self, verts: np.ndarray, tris: np.ndarray):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native mesh kernels unavailable (no g++?)")
+        self._lib = lib
+        # keep buffers alive: the BVH references them
+        self._verts = np.ascontiguousarray(verts, np.float32)
+        self._tris = np.ascontiguousarray(tris, np.int64)
+        self._handle = lib.bvh_build(
+            self._verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(self._verts),
+            self._tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(self._tris),
+        )
+
+    def render_depth(
+        self, c2w: np.ndarray, H: int, W: int,
+        fx: float, fy: float, cx: float, cy: float, z_far: float = 20.0,
+    ) -> np.ndarray:
+        out = np.zeros((H, W), np.float32)
+        c2w32 = np.ascontiguousarray(c2w, np.float32)
+        self._lib.bvh_render_depth(
+            self._handle,
+            c2w32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            H, W, fx, fy, cx, cy, z_far,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+
+    def cast_rays(self, origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        o = np.ascontiguousarray(origins, np.float32)
+        d = np.ascontiguousarray(dirs, np.float32)
+        out = np.zeros((len(o),), np.float32)
+        self._lib.bvh_cast_rays(
+            self._handle,
+            o.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(o),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.bvh_free(self._handle)
+            self._handle = None
+
+
+def sample_surface(
+    verts: np.ndarray, tris: np.ndarray, n: int, seed: int = 0
+) -> np.ndarray:
+    """Area-weighted uniform surface sampling (replaces
+    trimesh.sample.sample_surface, reference eval_recon.py:103-107)."""
+    rng = np.random.default_rng(seed)
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    total = areas.sum()
+    if total <= 0:
+        return verts[rng.integers(0, len(verts), n)]
+    probs = areas / total
+    idx = rng.choice(len(tris), size=n, p=probs)
+    r1 = np.sqrt(rng.random(n))
+    r2 = rng.random(n)
+    a, b, c = v0[idx], v1[idx], v2[idx]
+    return (1 - r1)[:, None] * a + (r1 * (1 - r2))[:, None] * b + (
+        r1 * r2
+    )[:, None] * c
 
 
 def marching_cubes(

