@@ -416,15 +416,18 @@ struct BVH {
           if (std::fabs(det) < 1e-12f) continue;
           const float inv_det = 1.f / det;
           for (int k = 0; k < 3; ++k) tv[k] = o[k] - a[k];
+          // slightly edge-inclusive so rays grazing shared edges cannot
+          // slip between adjacent triangles
+          const float kEdgeEps = 1e-6f;
           const float u =
               (tv[0] * pv[0] + tv[1] * pv[1] + tv[2] * pv[2]) * inv_det;
-          if (u < 0.f || u > 1.f) continue;
+          if (u < -kEdgeEps || u > 1.f + kEdgeEps) continue;
           qv[0] = tv[1] * e1[2] - tv[2] * e1[1];
           qv[1] = tv[2] * e1[0] - tv[0] * e1[2];
           qv[2] = tv[0] * e1[1] - tv[1] * e1[0];
           const float vv =
               (d[0] * qv[0] + d[1] * qv[1] + d[2] * qv[2]) * inv_det;
-          if (vv < 0.f || u + vv > 1.f) continue;
+          if (vv < -kEdgeEps || u + vv > 1.f + kEdgeEps) continue;
           const float t =
               (e2[0] * qv[0] + e2[1] * qv[1] + e2[2] * qv[2]) * inv_det;
           if (t > 1e-6f && t < best) best = t;

@@ -148,7 +148,49 @@ class NiceSLAM:
                 pass
 
         self._track_key = jax.random.PRNGKey(int(cfg.get("seed", 42)))
+        self._start_idx = 0
+        # per-stage wall-clock accounting (written to {output}/timings.json)
+        self.timings = {"tracking_s": 0.0, "mapping_s": 0.0,
+                        "coarse_mapping_s": 0.0, "meshing_s": 0.0,
+                        "frames": 0}
         self.print_output_desc()
+
+    # ------------------------------------------------------------------
+    # Resume (capability the reference lacks: its Logger only writes,
+    # SURVEY.md §5.4)
+    # ------------------------------------------------------------------
+
+    def resume(self) -> int:
+        """Restore the latest checkpoint; returns the frame index to resume
+        from (0 if no checkpoint exists)."""
+        import glob
+
+        from nice_slam_tpu.utils.logger import load_checkpoint
+
+        ckpts = sorted(glob.glob(os.path.join(self.output, "ckpts", "*.tar")))
+        if not ckpts:
+            return 0
+        state, est, gt, kf_list, idx = load_checkpoint(
+            ckpts[-1], self.spec, self.state
+        )
+        with self._state_lock:
+            self.state = state
+        n = min(len(est), self.n_img)
+        self.estimate_c2w_list[:n] = est[:n]
+        self.gt_c2w_list[:n] = gt[:n]
+        # keyframe images are not checkpointed (reference Logger.py:29
+        # excludes them) — re-read them from the dataset
+        for kf_idx in kf_list:
+            _, color, depth, gt_c2w = self.frame_reader[kf_idx]
+            self.keyframes.add(kf_idx, color, depth,
+                               self.estimate_c2w_list[kf_idx],
+                               np.asarray(gt_c2w))
+        self.idx = idx
+        self.mapping_idx = idx
+        self.mapping_first_frame = 1
+        self._start_idx = idx + 1
+        print(f"INFO: resumed from {ckpts[-1]} at frame {idx}")
+        return self._start_idx
 
     # ------------------------------------------------------------------
     def print_output_desc(self) -> None:
@@ -174,6 +216,13 @@ class NiceSLAM:
     def track_one(self, idx: int, gt_color, gt_depth, gt_c2w) -> np.ndarray:
         """Track a single frame (reference Tracker.run body,
         src/Tracker.py:152-258)."""
+        _t0 = time.perf_counter()
+        try:
+            return self._track_one(idx, gt_color, gt_depth, gt_c2w)
+        finally:
+            self.timings["tracking_s"] += time.perf_counter() - _t0
+
+    def _track_one(self, idx: int, gt_color, gt_depth, gt_c2w) -> np.ndarray:
         if idx == 0 or self.tcfg.gt_camera:
             c2w = np.asarray(gt_c2w, np.float32)
             if idx % self.tracking_visualizer.freq == 0 and not (
@@ -221,6 +270,15 @@ class NiceSLAM:
                 init: bool, coarse: bool = False) -> None:
         """Map a frame with the main (or coarse) mapper
         (reference Mapper.run body, src/Mapper.py:542-657)."""
+        _t0 = time.perf_counter()
+        try:
+            return self._map_one(idx, gt_color, gt_depth, gt_c2w, init, coarse)
+        finally:
+            key = "coarse_mapping_s" if coarse else "mapping_s"
+            self.timings[key] += time.perf_counter() - _t0
+
+    def _map_one(self, idx: int, gt_color, gt_depth, gt_c2w,
+                 init: bool, coarse: bool = False) -> None:
         mapper = self.coarse_mapper if coarse else self.mapper
         cfg_m = self.cfg["mapping"]
 
@@ -318,6 +376,7 @@ class NiceSLAM:
                                    idx, eval_rec=True)
 
     def _mesh(self, path: str, idx: int, eval_rec: bool = False) -> None:
+        _t0 = time.perf_counter()
         try:
             with self._state_lock:
                 state = self.state
@@ -329,16 +388,29 @@ class NiceSLAM:
             )
         except Exception as e:  # meshing must never kill the SLAM loop
             print(f"WARN: meshing failed at frame {idx}: {e}")
+        finally:
+            self.timings["meshing_s"] += time.perf_counter() - _t0
 
     # ------------------------------------------------------------------
     # Schedules
     # ------------------------------------------------------------------
 
     def run(self) -> None:
+        import json
+
+        t0 = time.perf_counter()
         if self.sync_method == "strict":
             self._run_strict()
         else:
             self._run_threaded()
+        self.timings["total_s"] = time.perf_counter() - t0
+        self.timings["frames"] = self.n_img - self._start_idx
+        if self.timings["frames"] > 0:
+            self.timings["fps"] = self.timings["frames"] / max(
+                self.timings["total_s"], 1e-9
+            )
+        with open(os.path.join(self.output, "timings.json"), "w") as f:
+            json.dump(self.timings, f, indent=2)
 
     def _should_map(self, idx: int) -> bool:
         return idx % self.mcfg.every_frame == 0 or idx == self.n_img - 1
@@ -346,7 +418,7 @@ class NiceSLAM:
     def _run_strict(self) -> None:
         """Deterministic sequential schedule — equivalent to the reference's
         strict-sync 3-process interleaving (SURVEY.md §2.2)."""
-        for idx in range(self.n_img):
+        for idx in range(self._start_idx, self.n_img):
             _, gt_color, gt_depth, gt_c2w = self.frame_reader[idx]
             if idx == 0:
                 self.estimate_c2w_list[0] = np.asarray(gt_c2w)

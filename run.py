@@ -32,6 +32,10 @@ def main() -> None:
                         help="override cfg data.input_folder")
     parser.add_argument("--output", type=str, default=None,
                         help="override cfg data.output")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the output folder's last checkpoint")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the run")
     group = parser.add_mutually_exclusive_group()
     group.add_argument("--nice", dest="nice", action="store_true")
     group.add_argument("--imap", dest="nice", action="store_false")
@@ -57,7 +61,18 @@ def main() -> None:
     cfg = load_config(args.config, base)
 
     slam = NiceSLAM(cfg, args)
-    slam.run()
+    if args.resume:
+        slam.resume()
+    if args.profile:
+        trace_dir = os.path.join(slam.output, "jax_trace")
+        jax.profiler.start_trace(trace_dir)
+        try:
+            slam.run()
+        finally:
+            jax.profiler.stop_trace()
+            print(f"INFO: profiler trace written to {trace_dir}")
+    else:
+        slam.run()
 
 
 if __name__ == "__main__":

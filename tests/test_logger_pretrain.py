@@ -1,0 +1,114 @@
+"""Checkpoint serialization round-trips and pretrained-decoder import."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from nice_slam_tpu.models import decoders as D
+from nice_slam_tpu.models.scene import build_scene
+from nice_slam_tpu.utils.logger import (
+    decoders_from_state_dict,
+    decoders_to_state_dict,
+    grid_from_torch_layout,
+    grid_to_torch_layout,
+)
+
+
+def _cfg():
+    return {
+        "scale": 1, "coarse": True, "occupancy": True,
+        "grid_len": {"coarse": 2, "middle": 0.32, "fine": 0.16, "color": 0.16,
+                     "bound_divisible": 0.32},
+        "model": {"c_dim": 8, "coarse_bound_enlarge": 2,
+                  "pos_embedding_method": "fourier"},
+        "data": {"dim": 3},
+        "mapping": {"bound": [[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0]]},
+    }
+
+
+def test_grid_layout_roundtrip():
+    g = np.random.default_rng(0).random((5, 6, 7, 4)).astype(np.float32)
+    t = grid_to_torch_layout(g)
+    assert tuple(t.shape) == (1, 4, 7, 6, 5)  # [1, C, Z, Y, X]
+    back = grid_from_torch_layout(t)
+    np.testing.assert_allclose(back, g)
+
+
+def test_decoder_state_dict_roundtrip_nice():
+    spec, state = build_scene(_cfg(), nice=True, seed=3)
+    sd = decoders_to_state_dict(spec, state.decoders)
+    # torch naming convention used by the reference checkpoints
+    assert "middle_decoder.pts_linears.0.weight" in sd
+    assert "fine_decoder.fc_c.0.weight" in sd
+    assert "color_decoder.output_linear.bias" in sd
+    assert "coarse_decoder.pts_linears.0.weight" in sd
+    assert "middle_decoder.embedder._B" in sd
+    # weight transposed to torch (out, in)
+    w = sd["middle_decoder.pts_linears.0.weight"]
+    assert tuple(w.shape)[::-1] == state.decoders["middle"]["pts_linears"][0]["w"].shape
+
+    restored = decoders_from_state_dict(spec, sd, state.decoders)
+    p = jnp.asarray(np.random.default_rng(1).uniform(-0.5, 0.5, (7, 3)),
+                    jnp.float32)
+    r1 = D.apply_nice(state.decoders, spec.decoder, p, state.grids,
+                      state.bound, state.coarse_bound, "color")
+    r2 = D.apply_nice(restored, spec.decoder, p, state.grids, state.bound,
+                      state.coarse_bound, "color")
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-6)
+
+
+def test_pretrain_import_key_surgery(tmp_path):
+    """ConvONet .pt loading with the reference's prefix conventions
+    (src/NICE_SLAM.py:159-190): middle_fine.pt holds the middle decoder
+    under 'decoder.coarse_*' and fine under 'decoder.fine_*'."""
+    from nice_slam_tpu.models.pretrain import load_pretrain
+
+    cfg = _cfg()
+    spec, state = build_scene(cfg, nice=True, seed=4)
+
+    # build a fake middle_fine checkpoint from a differently-seeded scene
+    spec2, state2 = build_scene(cfg, nice=True, seed=99)
+    model = {}
+
+    def emit(params, prefix):
+        model[f"decoder.{prefix}embedder._B"] = torch.from_numpy(
+            np.asarray(params["embedder_B"]))
+        for i, l in enumerate(params["pts_linears"]):
+            model[f"decoder.{prefix}pts_linears.{i}.weight"] = torch.from_numpy(
+                np.asarray(l["w"]).T.copy())
+            model[f"decoder.{prefix}pts_linears.{i}.bias"] = torch.from_numpy(
+                np.asarray(l["b"]))
+        for i, l in enumerate(params.get("fc_c", [])):
+            model[f"decoder.{prefix}fc_c.{i}.weight"] = torch.from_numpy(
+                np.asarray(l["w"]).T.copy())
+            model[f"decoder.{prefix}fc_c.{i}.bias"] = torch.from_numpy(
+                np.asarray(l["b"]))
+        model[f"decoder.{prefix}output_linear.weight"] = torch.from_numpy(
+            np.asarray(params["output_linear"]["w"]).T.copy())
+        model[f"decoder.{prefix}output_linear.bias"] = torch.from_numpy(
+            np.asarray(params["output_linear"]["b"]))
+
+    emit(state2.decoders["middle"], "coarse_")  # middle lives under 'coarse_'
+    emit(state2.decoders["fine"], "fine_")
+    model["encoder.something"] = torch.zeros(3)  # must be ignored
+    mf = tmp_path / "middle_fine.pt"
+    torch.save({"model": model}, mf)
+
+    cfg["pretrained_decoders"] = {"middle_fine": str(mf)}
+    new_state = load_pretrain(cfg, spec, state, verbose=False)
+
+    np.testing.assert_allclose(
+        np.asarray(new_state.decoders["middle"]["pts_linears"][0]["w"]),
+        np.asarray(state2.decoders["middle"]["pts_linears"][0]["w"]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.decoders["fine"]["output_linear"]["w"]),
+        np.asarray(state2.decoders["fine"]["output_linear"]["w"]), atol=1e-6,
+    )
+    # color decoder untouched
+    np.testing.assert_allclose(
+        np.asarray(new_state.decoders["color"]["output_linear"]["w"]),
+        np.asarray(state.decoders["color"]["output_linear"]["w"]), atol=0,
+    )

@@ -1,0 +1,155 @@
+"""Mapper components: stage plan, frustum masks, keyframe selection/store."""
+
+import dataclasses
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nice_slam_tpu.slam.keyframes import KeyframeStore
+from nice_slam_tpu.slam.mapper import (
+    MapperConfig,
+    frustum_mask,
+    overlap_scores,
+    stage_plan_for,
+)
+
+CAM = {"H": 60, "W": 80, "fx": 60.0, "fy": 60.0, "cx": 39.5, "cy": 29.5}
+
+
+def _mcfg(**over):
+    base = dict(
+        H=60, W=80, fx=60.0, fy=60.0, cx=39.5, cy=29.5,
+        pixels=100, iters=60, iters_first=1500, every_frame=5,
+        keyframe_every=50, mapping_window_size=5, middle_iter_ratio=0.4,
+        fine_iter_ratio=0.6, w_color_loss=0.2, BA=False, BA_cam_lr=0.001,
+        fix_fine=True, fix_color=False, frustum_feature_selection=True,
+        keyframe_selection_method="overlap", lr_first_factor=5.0,
+        lr_factor=1.0, color_refine=True, nice=True, coarse_mapper=False,
+        occupancy=True, imap_decoders_lr=0.0,
+        stage_lr=tuple(
+            (0.0, 0.001, 0.0, 0.0, 0.0) if s == 0 else
+            (0.0, 0.0, 0.1, 0.0, 0.0) if s == 1 else
+            (0.0, 0.0, 0.005, 0.005, 0.0) if s == 2 else
+            (0.005, 0.0, 0.005, 0.005, 0.005)
+            for s in range(4)
+        ),
+    )
+    base.update(over)
+    return MapperConfig(**base)
+
+
+def test_stage_plan_default_60():
+    plan = stage_plan_for(_mcfg(), 60)
+    # joint_iter <= int(60*0.4)=24 -> middle (25 iters);
+    # <= int(60*0.6)=36 -> fine (12); rest color (23)
+    assert plan == (("middle", 25), ("fine", 12), ("color", 23))
+    assert sum(n for _, n in plan) == 60
+
+
+def test_stage_plan_color_refine_ratios_zero():
+    plan = stage_plan_for(_mcfg(), 100, middle_iter_ratio=0.0,
+                          fine_iter_ratio=0.0)
+    # reference quirk: joint_iter 0 still lands in 'middle' (<= int(0))
+    assert plan[0] == ("middle", 1)
+    assert plan[2] == ("color", 99)
+
+
+def test_stage_plan_coarse_and_imap():
+    assert stage_plan_for(_mcfg(coarse_mapper=True), 30) == (("coarse", 30),)
+    assert stage_plan_for(_mcfg(nice=False), 30) == (("color", 30),)
+
+
+def _reference_frustum_mask(c2w, depth_np, bound, shape, H, W, fx, fy, cx, cy):
+    """Numpy+cv2 reimplementation of the reference's get_mask_from_c2w
+    semantics (src/Mapper.py:93-164) for parity checking."""
+    nx, ny, nz = shape
+    X, Y, Z = np.meshgrid(
+        np.linspace(bound[0][0], bound[0][1], nx),
+        np.linspace(bound[1][0], bound[1][1], ny),
+        np.linspace(bound[2][0], bound[2][1], nz),
+        indexing="ij",
+    )
+    points = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    w2c = np.linalg.inv(c2w)
+    ones = np.ones((len(points), 1))
+    homo = np.concatenate([points, ones], axis=1)
+    cam = (w2c @ homo.T).T[:, :3]
+    cam[:, 0] *= -1
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    uv = (K @ cam.T).T
+    z = uv[:, 2:3] + 1e-5
+    uv2 = (uv[:, :2] / z).astype(np.float32)
+    depths = cv2.remap(
+        depth_np, uv2[:, 0:1], uv2[:, 1:2], interpolation=cv2.INTER_LINEAR
+    ).reshape(-1)
+    mask = (uv2[:, 0] < W) & (uv2[:, 0] > 0) & (uv2[:, 1] < H) & (uv2[:, 1] > 0)
+    depths[depths == 0] = np.max(depths)
+    mask = mask & (0 <= -z[:, 0]) & (-z[:, 0] <= depths + 0.5)
+    dist = np.sum((points - c2w[:3, 3]) ** 2, axis=1)
+    mask |= dist < 0.25
+    return mask.reshape(nx, ny, nz)
+
+
+def test_frustum_mask_matches_cv2_reference():
+    rng = np.random.default_rng(0)
+    H, W = CAM["H"], CAM["W"]
+    depth = (1.0 + rng.random((H, W))).astype(np.float32)
+    depth[10:20, 10:20] = 0.0  # simulated depth holes
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.1, -0.2, 0.3]
+    bound = np.array([[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]], np.float32)
+    shape = (9, 8, 7)
+    ours = np.asarray(
+        frustum_mask(
+            jnp.asarray(c2w), jnp.asarray(depth), jnp.asarray(bound), shape,
+            H, W, CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+        )
+    )
+    ref = _reference_frustum_mask(
+        c2w, depth, bound, shape, H, W,
+        CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"],
+    )
+    # bilinear boundary pixels can differ by a hair; demand near-exact match
+    agreement = np.mean(ours == ref)
+    assert agreement > 0.99, f"frustum mask agreement {agreement}"
+
+
+def test_overlap_scores_direction():
+    key = jax.random.PRNGKey(0)
+    H, W = CAM["H"], CAM["W"]
+    depth = jnp.full((H, W), 2.0)
+    color = jnp.zeros((H, W, 3))
+    c2w = jnp.eye(4)
+    # keyframe 0: same pose -> high overlap; keyframe 1: rotated 180deg
+    # about y (looks the other way) -> zero overlap
+    flip = jnp.array(
+        [[-1.0, 0, 0, 0], [0, 1, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1]]
+    )
+    kf = jnp.stack([c2w, flip])
+    scores = np.asarray(
+        overlap_scores(key, color, depth, c2w, kf, H, W,
+                       CAM["fx"], CAM["fy"], CAM["cx"], CAM["cy"])
+    )
+    # the reference's edge=20 margin leaves only the central 40x20 strip of
+    # this tiny 80x60 test camera, so same-pose overlap is ~1/6, not ~1
+    assert scores[0] > 0.05
+    assert scores[1] == 0.0
+
+
+def test_keyframe_store_roundtrip():
+    store = KeyframeStore(4, 8, 10)
+    c = np.random.default_rng(0).random((8, 10, 3)).astype(np.float32)
+    d = np.ones((8, 10), np.float32)
+    p = np.eye(4, dtype=np.float32)
+    store.add(0, c, d, p, p)
+    p2 = p.copy()
+    p2[0, 3] = 5.0
+    store.add(50, 2 * c, 2 * d, p2, p2)
+    assert len(store) == 2
+    colors, depths, poses = store.gather_window([1, 0])
+    np.testing.assert_allclose(np.asarray(colors[0]), 2 * c, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(poses[1]), p, atol=1e-6)
+    store.set_est_c2w(0, p2)
+    np.testing.assert_allclose(np.asarray(store.arrays.est_c2w[0]), p2)
