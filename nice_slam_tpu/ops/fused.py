@@ -110,6 +110,18 @@ def pack_params(spec: D.MLPSpec, params: Dict[str, Any]) -> Dict[str, jnp.ndarra
     return out
 
 
+BF16_COMPUTE = True  # bf16 MXU multiplies with f32 accumulation on the
+                     # no-grad inference path (~1e-2 abs difference on raw
+                     # logits; the iso-surface / color quantization absorb it)
+
+
+def _dot(a, b):
+    if BF16_COMPUTE:
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _mlp_kernel(pk: PackedMLP, has_feat: bool):
     """Build the kernel body for one packed decoder."""
 
@@ -135,7 +147,7 @@ def _mlp_kernel(pk: PackedMLP, has_feat: bool):
         n = p_ref.shape[0]
         if pk.embed > 0:
             emb = jnp.sin(
-                jnp.dot(p_ref[:], B_ref[:], preferred_element_type=jnp.float32)
+                _dot(p_ref[:], B_ref[:])
             )  # (TILE, 93)
             lead = emb
         else:
@@ -148,13 +160,11 @@ def _mlp_kernel(pk: PackedMLP, has_feat: bool):
         for blk in range(pk.n_blocks):
             w = W_ref[blk]
             h = jnp.maximum(
-                jnp.dot(x, w, preferred_element_type=jnp.float32) + b_ref[blk],
+                _dot(x, w) + b_ref[blk],
                 0.0,
             )
             if has_feat and pk.feat > 0 and pk.embed > 0:
-                h = h + jnp.dot(
-                    feat, Wc_ref[blk], preferred_element_type=jnp.float32
-                ) + bc_ref[blk]
+                h = h + _dot(feat, Wc_ref[blk]) + bc_ref[blk]
             if blk in pk.skips:
                 x = jnp.pad(
                     jnp.concatenate([lead, h], axis=1),
@@ -162,7 +172,7 @@ def _mlp_kernel(pk: PackedMLP, has_feat: bool):
                 )
             else:
                 x = jnp.pad(h, ((0, 0), (0, pk.in_width - pk.hidden)))
-        out = jnp.dot(h, Wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+        out = _dot(h, Wo_ref[:]) + bo_ref[:]
         out_ref[:] = out
 
     return kernel

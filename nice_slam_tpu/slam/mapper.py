@@ -517,12 +517,17 @@ class Mapper:
         mcfg: MapperConfig,
         rcfg: RenderConfig,
         seed: int = 1,
+        save_selected_keyframes_info: bool = False,
     ):
         self.spec = spec
         self.mcfg = mcfg
         self.rcfg = rcfg
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed + 1000)
+        # optional record of each mapping call's window (reference
+        # src/Mapper.py:74-76,274-287); checkpointed when enabled
+        self.save_selected_keyframes_info = save_selected_keyframes_info
+        self.selected_keyframes = {} if save_selected_keyframes_info else None
         # runtime-adjustable copies (color refinement rewrites these,
         # reference :578-586)
         self.mapping_window_size = mcfg.mapping_window_size
@@ -605,6 +610,18 @@ class Mapper:
                     cur_c2w_j, cur_depth, state.bound, shape,
                     mcfg.H, mcfg.W, mcfg.fx, mcfg.fy, mcfg.cx, mcfg.cy,
                 )
+
+        if self.save_selected_keyframes_info:
+            infos = []
+            for slot, pos in enumerate(window_positions):
+                infos.append({
+                    "idx": keyframes.frame_ids[pos],
+                    "gt_c2w": np.asarray(keyframes.arrays.gt_c2w[pos]),
+                    "est_c2w": np.asarray(keyframes.arrays.est_c2w[pos]),
+                })
+            infos.append({"idx": idx, "gt_c2w": np.asarray(gt_cur_c2w),
+                          "est_c2w": np.asarray(cur_c2w)})
+            self.selected_keyframes[idx] = infos
 
         pixs_per_image = mcfg.pixels // F
         plan = stage_plan_for(mcfg, num_joint_iters)

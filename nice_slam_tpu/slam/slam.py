@@ -114,7 +114,11 @@ class NiceSLAM:
         kf_capacity = self.n_img // self.mcfg.keyframe_every + 3
         self.keyframes = KeyframeStore(kf_capacity, self.H, self.W)
 
-        self.mapper = Mapper(self.spec, self.mcfg, self.rcfg)
+        self.mapper = Mapper(
+            self.spec, self.mcfg, self.rcfg,
+            save_selected_keyframes_info=cfg["mapping"].get(
+                "save_selected_keyframes_info", False),
+        )
         self.coarse_mapper = None
         if self.coarse:
             ccfg = MapperConfig.from_cfg(cfg, self.cam, self.nice, True)
@@ -355,7 +359,8 @@ class NiceSLAM:
             if ((not (idx == 0 and cfg_m["no_log_on_first_frame"]))
                     and idx % cfg_m["ckpt_freq"] == 0) or idx == self.n_img - 1:
                 self.logger.log(idx, self.state, self.estimate_c2w_list,
-                                self.gt_c2w_list, self.keyframes.frame_ids)
+                                self.gt_c2w_list, self.keyframes.frame_ids,
+                                selected_keyframes=self.mapper.selected_keyframes)
             self.mapping_idx = idx
             self.mapping_cnt += 1
 

@@ -40,8 +40,17 @@ from nice_slam_tpu.ops.render import RenderConfig, render_batch_ray
 from nice_slam_tpu.utils import meshlib
 
 
+import os
+
+_USE_FUSED = os.environ.get("NICE_SLAM_TPU_FUSED", "0") == "1"
+
+
 @partial(jax.jit, static_argnames=("spec", "stage"))
 def _eval_chunk(spec, state, pts, stage):
+    if _USE_FUSED:
+        from nice_slam_tpu.ops.fused import fused_eval_points
+
+        return fused_eval_points(spec, state, pts, stage)
     return eval_points(spec, state, pts, stage)
 
 
