@@ -23,6 +23,13 @@ everything after it.
 
 Used on no-grad paths (meshing, full-frame rendering, visualization);
 training keeps the XLA autodiff path.
+
+Numerics note: exact parity with the XLA path is impossible by
+construction — the Gaussian-Fourier embedding evaluates sin at O(100) rad
+arguments, where 1-ulp dot-product scheduling differences (fma vs not)
+perturb features by ~1e-5 and the decoder amplifies that to ~1e-2 on raw
+logits.  The torch reference has the same cross-device spread; the
+rendering/meshing consumers are insensitive at this level.
 """
 
 from __future__ import annotations
