@@ -91,7 +91,7 @@ def main() -> None:
         key, k = jax.random.split(key)
         jax.block_until_ready(run_frame(i, k))
 
-    n_bench = 20
+    n_bench = 20 if jax.default_backend() == "tpu" else 3
     t0 = time.perf_counter()
     out = None
     for i in range(n_bench):
