@@ -192,9 +192,15 @@ def const_speed_init(
 
 def c2w_from_candidate(candidate: jnp.ndarray) -> np.ndarray:
     """7-vector -> 4x4 with homogeneous bottom row (reference :248-252)."""
-    c2w = np.asarray(pose_from_tensor(candidate))
+    c2w = np.asarray(_pose_from_tensor_jit(candidate))
     return np.concatenate([c2w, np.array([[0, 0, 0, 1.0]], np.float32)], axis=0)
 
 
+_tensor_from_pose_jit = jax.jit(tensor_from_pose)
+_pose_from_tensor_jit = jax.jit(pose_from_tensor)
+
+
 def tensor_from_c2w(c2w) -> jnp.ndarray:
-    return tensor_from_pose(jnp.asarray(c2w, jnp.float32))
+    # jitted: the eager op-by-op quaternion extraction costs ~50 small
+    # dispatches per call, which dominated per-frame latency on slow hosts
+    return _tensor_from_pose_jit(jnp.asarray(c2w, jnp.float32))
