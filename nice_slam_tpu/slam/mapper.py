@@ -48,6 +48,11 @@ from nice_slam_tpu.slam.optim import GroupAdamState, group_adam_update, init_gro
 STAGE_INDEX = {"coarse": 0, "middle": 1, "fine": 2, "color": 3}
 LR_KEYS = ("decoders_lr", "coarse_lr", "middle_lr", "fine_lr", "color_lr")
 
+# jitted pose converters: the eager op-by-op versions cost dozens of host
+# dispatches per call (see slam/tracker.py note)
+_batched_tensor_from_pose = jax.jit(jax.vmap(tensor_from_pose))
+_pose_from_tensor_jit = jax.jit(pose_from_tensor)
+
 
 @dataclasses.dataclass(frozen=True)
 class MapperConfig:
@@ -591,7 +596,7 @@ class Mapper:
             fixed_c2w = cur_c2w_j[None]
 
         # camera tensors + optimizability mask (oldest fixed, reference :349-363)
-        cam_tensors = jax.vmap(tensor_from_pose)(fixed_c2w)
+        cam_tensors = _batched_tensor_from_pose(fixed_c2w)
         opt_mask = np.zeros((F,), np.float32)
         if BA:
             opt_mask[:] = 1.0
@@ -646,5 +651,5 @@ class Mapper:
 
 
 def _tensor_to_c2w44(tensor: np.ndarray) -> np.ndarray:
-    c2w = np.asarray(pose_from_tensor(jnp.asarray(tensor)))
+    c2w = np.asarray(_pose_from_tensor_jit(jnp.asarray(tensor)))
     return np.concatenate([c2w, np.array([[0, 0, 0, 1.0]], np.float32)], axis=0)

@@ -54,9 +54,13 @@ def test_imap_mode_end_to_end(tmp_path):
 def test_coarse_and_ba_end_to_end(tmp_path):
     cfg = load_config(os.path.join(ROOT, "configs", "Synthetic", "box.yaml"),
                       os.path.join(ROOT, "configs", "nice_slam.yaml"))
-    cfg = _shrink(cfg, tmp_path, n_frames=10)
+    cfg = _shrink(cfg, tmp_path, n_frames=14)
     cfg["coarse"] = True
     cfg["mapping"]["BA"] = True
+    # keyframes are admitted at mapped frames only: map every 2nd frame and
+    # admit every mapped frame so >4 keyframes exist and BA activates
+    cfg["mapping"]["every_frame"] = 2
+    cfg["mapping"]["keyframe_every"] = 2
     cfg["rendering"]["N_surface"] = 4
     from nice_slam_tpu.slam.slam import NiceSLAM
 
@@ -65,10 +69,9 @@ def test_coarse_and_ba_end_to_end(tmp_path):
     assert slam.coarse_mapper is not None
     assert "grid_coarse" in slam.state.grids
     slam.run()
-    # BA became active (needs >4 keyframes; keyframe_every=2 over 10 frames)
+    # BA became active (needs >4 keyframes)
     assert len(slam.keyframes) > 4
-    # coarse grid was actually trained (changed from init)
-    assert np.isfinite(slam.estimate_c2w_list[:10]).all()
-    err = np.abs(slam.estimate_c2w_list[:10, :3, 3]
-                 - slam.gt_c2w_list[:10, :3, 3]).max()
+    assert np.isfinite(slam.estimate_c2w_list[:14]).all()
+    err = np.abs(slam.estimate_c2w_list[:14, :3, 3]
+                 - slam.gt_c2w_list[:14, :3, 3]).max()
     assert err < 1.0
