@@ -106,18 +106,30 @@ def eval_points(
     state: SceneState,
     p: jnp.ndarray,
     stage: str = "color",
+    batched: bool = True,
 ) -> jnp.ndarray:
     """Decode (N, 3) world points -> (N, 4) raw rgb+occ.
 
     Out-of-scene-bound points get occupancy := 100 (an "occupied" sentinel
     that terminates rays at the box), matching reference
     src/utils/Renderer.py:41-57.
+
+    ``batched=True`` evaluates the fine/color stages' 2-3 decoder stacks as
+    one batched matmul chain (~2.8x faster on TPU; identical math up to f32
+    scheduling noise — see decoders.apply_nice_stage_batched).
     """
     if spec.nice:
-        raw = D.apply_nice(
-            state.decoders, spec.decoder, p, state.grids,
-            state.bound, state.coarse_bound, stage,
-        )
+        if (batched and stage in ("fine", "color")
+                and spec.decoder.pos_embedding_method == "fourier"):
+            raw = D.apply_nice_stage_batched(
+                state.decoders, spec.decoder, p, state.grids, state.bound,
+                stage,
+            )
+        else:
+            raw = D.apply_nice(
+                state.decoders, spec.decoder, p, state.grids,
+                state.bound, state.coarse_bound, stage,
+            )
     else:
         raw = D.apply_imap(state.decoders, spec.decoder, p)
 

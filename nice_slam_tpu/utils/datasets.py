@@ -295,13 +295,15 @@ class Synthetic(BaseDataset):
         self.n_img = int(cfg["data"].get("n_frames", 40))
         room = cfg["data"].get("room", [[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]])
         self.room = np.asarray(room, dtype=np.float32)
+        # total orbit sweep; per-frame motion scales with radians / n_frames
+        self.orbit_radians = float(cfg["data"].get("orbit_radians", 0.5 * np.pi))
         self.poses = [self._pose(i) for i in range(self.n_img)]
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
     def _pose(self, i: int) -> np.ndarray:
         """Smooth orbit: small circle around the room center, looking outward."""
         t = i / max(self.n_img, 1)
-        ang = 0.5 * np.pi * t
+        ang = self.orbit_radians * t
         center = self.room.mean(axis=1)
         radius = 0.25 * float(np.min(self.room[:, 1] - self.room[:, 0]))
         eye = center + radius * np.array(

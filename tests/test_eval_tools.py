@@ -75,7 +75,9 @@ def test_recon_metrics_known_offset():
     # the mean is bounded by, and close to, the shift magnitude
     assert 0.018 < accuracy(gt, rec) <= 0.02 + 1e-9
     assert completion_ratio(gt, rec, dist_th=0.05) == 1.0
-    assert completion_ratio(gt, rec, dist_th=0.01) == 0.0
+    # a handful of dense-cloud points may have an unrelated neighbor
+    # within the threshold
+    assert completion_ratio(gt, rec, dist_th=0.01) < 0.01
 
 
 def test_cull_mesh_drops_behind_camera():

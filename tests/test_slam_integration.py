@@ -118,6 +118,9 @@ def test_tracked_run_ate(tmp_path):
     # orbit with const-speed init
     cfg = small_cfg(tmp_path, n_frames=8, gt_camera=False)
     cfg["data"]["n_frames"] = 8
+    # slow orbit: per-frame motion within the tracker's 6-iteration Adam
+    # step budget (lr 1e-3) once const-speed extrapolation absorbs the bulk
+    cfg["data"]["orbit_radians"] = 0.15
     from nice_slam_tpu.slam.slam import NiceSLAM
 
     args = argparse.Namespace(nice=True, input_folder=None, output=None)
@@ -130,6 +133,5 @@ def test_tracked_run_ate(tmp_path):
     est = slam.estimate_c2w_list[:8, :3, 3].T
     _, _, err = align(est, gt)
     rmse = float(np.sqrt(np.mean(err**2)))
-    # the synthetic orbit moves ~1.5 cm/frame at 40-frame pacing; with only
-    # 8 frames motion is ~8 cm/frame — allow a loose but meaningful bound
-    assert rmse < 0.3, f"ATE RMSE {rmse} too high"
+    # ~0.6 cm/frame motion; tracking should stay within a few cm
+    assert rmse < 0.1, f"ATE RMSE {rmse} too high"
