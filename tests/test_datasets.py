@@ -122,6 +122,62 @@ def test_tum_reader_association(tmp_path):
     assert abs(pose1[0, 3] - 0.1) < 1e-5
 
 
+def test_azure_reader(tmp_path):
+    H, W = 12, 16
+    rng = np.random.default_rng(2)
+    (tmp_path / "color").mkdir()
+    (tmp_path / "depth").mkdir()
+    (tmp_path / "scene").mkdir()
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / "color" / f"{i:05d}.jpg"),
+                    rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+        cv2.imwrite(str(tmp_path / "depth" / f"{i:05d}.png"),
+                    (rng.random((H, W)) * 1000).astype(np.uint16))
+    # open3d-style .log trajectory: header line + 4 matrix rows per frame
+    lines = []
+    for i in range(2):
+        lines.append(f"{i} {i} 1.0")
+        m = np.eye(4)
+        m[0, 3] = i * 0.5
+        for row in m:
+            lines.append(" ".join(f"{v:.6f}" for v in row))
+    (tmp_path / "scene" / "trajectory.log").write_text("\n".join(lines))
+
+    cfg = {
+        "dataset": "azure",
+        "cam": {"H": H, "W": W, "fx": 10.0, "fy": 10.0, "cx": 7.5, "cy": 5.5,
+                "png_depth_scale": 1000.0, "crop_edge": 0},
+        "data": {"input_folder": str(tmp_path)},
+    }
+    ds = get_dataset(cfg)
+    assert len(ds) == 2
+    _, color, depth, pose = ds[1]
+    assert color.shape == (H, W, 3)
+    assert pose[0, 3] == 0.5
+    assert pose[1, 1] == -1.0  # y/z axis flip
+
+
+def test_azure_identity_fallback(tmp_path):
+    # without a trajectory.log the reader must fall back to identity poses
+    H, W = 8, 10
+    (tmp_path / "color").mkdir()
+    (tmp_path / "depth").mkdir()
+    rng = np.random.default_rng(3)
+    cv2.imwrite(str(tmp_path / "color" / "0.jpg"),
+                rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+    cv2.imwrite(str(tmp_path / "depth" / "0.png"),
+                (rng.random((H, W)) * 1000).astype(np.uint16))
+    cfg = {
+        "dataset": "azure",
+        "cam": {"H": H, "W": W, "fx": 10.0, "fy": 10.0, "cx": 4.5, "cy": 3.5,
+                "png_depth_scale": 1000.0, "crop_edge": 0},
+        "data": {"input_folder": str(tmp_path)},
+    }
+    ds = get_dataset(cfg)
+    _, _, _, pose = ds[0]
+    np.testing.assert_allclose(pose, np.eye(4))
+
+
 def test_crop_size_resize():
     ds = Synthetic(_syn_cfg())
     cfg = _syn_cfg()
