@@ -422,9 +422,14 @@ class NiceSLAM:
 
     def _run_strict(self) -> None:
         """Deterministic sequential schedule — equivalent to the reference's
-        strict-sync 3-process interleaving (SURVEY.md §2.2)."""
-        for idx in range(self._start_idx, self.n_img):
-            _, gt_color, gt_depth, gt_c2w = self.frame_reader[idx]
+        strict-sync 3-process interleaving (SURVEY.md §2.2).  Frame IO runs
+        on a background prefetch thread (the reference used DataLoader
+        workers, src/Tracker.py:64-65)."""
+        from nice_slam_tpu.utils.datasets import Prefetcher
+
+        prefetch = Prefetcher(self.frame_reader, depth=3,
+                              start=self._start_idx)
+        for idx, gt_color, gt_depth, gt_c2w in prefetch:
             if idx == 0:
                 self.estimate_c2w_list[0] = np.asarray(gt_c2w)
                 self.gt_c2w_list[0] = np.asarray(gt_c2w)

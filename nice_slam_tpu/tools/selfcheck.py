@@ -1,0 +1,111 @@
+"""End-to-end acceptance run: full SLAM on the synthetic scene + metrics.
+
+Runs tracking + mapping + meshing on the procedural box room, then scores:
+  * ATE RMSE (tools/eval_ate protocol) of the tracked trajectory;
+  * 3D reconstruction accuracy / completion / completion-ratio
+    (tools/eval_recon protocol) against the analytic ground-truth room mesh.
+
+Prints a JSON summary.  This is the in-repo analog of the reference's
+demo-run + eval harness validation flow (SURVEY.md §4) that needs no
+dataset downloads.
+
+CLI: python -m nice_slam_tpu.tools.selfcheck [--frames 30] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def gt_room_mesh(room: np.ndarray, path: str) -> str:
+    """Analytic inward-facing box mesh of the synthetic room walls."""
+    from nice_slam_tpu.utils.meshlib import write_ply
+
+    lo, hi = room[:, 0], room[:, 1]
+    # 8 corners
+    corners = np.array([
+        [lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+        [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]],
+        [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+        [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]],
+    ], np.float32)
+    quads = [
+        (0, 1, 3, 2), (4, 5, 7, 6),  # z- / z+
+        (0, 1, 5, 4), (2, 3, 7, 6),  # y- / y+
+        (0, 2, 6, 4), (1, 3, 7, 5),  # x- / x+
+    ]
+    tris = []
+    for a, b, c, d in quads:
+        tris += [(a, b, c), (a, c, d)]
+    write_ply(path, corners, np.asarray(tris, np.int64))
+    return path
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=30)
+    parser.add_argument("--out", type=str, default="output/selfcheck")
+    parser.add_argument("--resolution", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=60)
+    parser.add_argument("--iters_first", type=int, default=400)
+    args = parser.parse_args()
+
+    import jax
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(here, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from nice_slam_tpu.config import load_config
+    from nice_slam_tpu.slam.slam import NiceSLAM
+    from nice_slam_tpu.tools.eval_ate import align
+    from nice_slam_tpu.tools.eval_recon import calc_3d_metric
+
+    cfg = load_config(os.path.join(here, "configs", "Synthetic", "box.yaml"),
+                      os.path.join(here, "configs", "nice_slam.yaml"))
+    cfg["coarse"] = False
+    cfg["verbose"] = False
+    cfg["data"]["n_frames"] = args.frames
+    cfg["data"]["output"] = args.out
+    cfg["mapping"]["iters"] = args.iters
+    cfg["mapping"]["iters_first"] = args.iters_first
+    cfg["mapping"]["mesh_freq"] = 10 ** 6  # final mesh only
+    cfg["mapping"]["ckpt_freq"] = 10 ** 6
+    cfg["meshing"]["resolution"] = args.resolution
+
+    ns = argparse.Namespace(nice=True, input_folder=None, output=None)
+    slam = NiceSLAM(cfg, ns)
+    slam.run()
+
+    n = args.frames
+    gt = slam.gt_c2w_list[:n, :3, 3].T
+    est = slam.estimate_c2w_list[:n, :3, 3].T
+    _, _, err = align(est, gt)
+    ate_rmse = float(np.sqrt(np.mean(err ** 2)))
+
+    room = slam.frame_reader.room
+    gt_mesh = gt_room_mesh(np.asarray(room), os.path.join(args.out,
+                                                          "gt_room.ply"))
+    rec_mesh = os.path.join(args.out, "mesh", "final_mesh.ply")
+    metrics = calc_3d_metric(rec_mesh, gt_mesh, align=True)
+
+    summary = {
+        "frames": n,
+        "ate_rmse_cm": round(ate_rmse * 100, 3),
+        "accuracy_cm": round(metrics["accuracy_cm"], 3),
+        "completion_cm": round(metrics["completion_cm"], 3),
+        "completion_ratio_pct": round(metrics["completion_ratio_pct"], 2),
+        "timings": slam.timings,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -375,15 +375,16 @@ class Prefetcher:
     """Background-thread frame prefetcher (replaces torch DataLoader workers,
     reference src/Tracker.py:64-65)."""
 
-    def __init__(self, dataset: BaseDataset, depth: int = 2):
+    def __init__(self, dataset: BaseDataset, depth: int = 2, start: int = 0):
         self.dataset = dataset
+        self.start = start
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
     def _worker(self):
-        for i in range(len(self.dataset)):
+        for i in range(self.start, len(self.dataset)):
             if self._stop.is_set():
                 return
             self.q.put(self.dataset[i])
