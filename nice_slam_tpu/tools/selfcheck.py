@@ -21,27 +21,30 @@ import os
 import numpy as np
 
 
-def gt_room_mesh(room: np.ndarray, path: str) -> str:
-    """Analytic inward-facing box mesh of the synthetic room walls."""
-    from nice_slam_tpu.utils.meshlib import write_ply
+def gt_room_mesh(room: np.ndarray, path: str, poses, cam,
+                 resolution: int = 96) -> str:
+    """Finely-triangulated analytic room-wall mesh, frustum-culled to the
+    trajectory's seen region — the synthetic analog of the reference's
+    culled GT meshes (cull_replica_mesh, consumed by eval_recon)."""
+    from nice_slam_tpu.tools.cull_mesh import cull_mesh
+    from nice_slam_tpu.utils.meshlib import marching_cubes, write_ply
 
     lo, hi = room[:, 0], room[:, 1]
-    # 8 corners
-    corners = np.array([
-        [lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
-        [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]],
-        [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
-        [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]],
-    ], np.float32)
-    quads = [
-        (0, 1, 3, 2), (4, 5, 7, 6),  # z- / z+
-        (0, 1, 5, 4), (2, 3, 7, 6),  # y- / y+
-        (0, 2, 6, 4), (1, 3, 7, 5),  # x- / x+
-    ]
-    tris = []
-    for a, b, c, d in quads:
-        tris += [(a, b, c), (a, c, d)]
-    write_ply(path, corners, np.asarray(tris, np.int64))
+    pad = 0.2
+    axes = [np.linspace(lo[k] - pad, hi[k] + pad, resolution)
+            for k in range(3)]
+    X, Y, Z = np.meshgrid(*axes, indexing="ij")
+    # signed "insideness": >0 inside the room -> iso-surface = the walls
+    field = np.minimum.reduce([
+        X - lo[0], hi[0] - X, Y - lo[1], hi[1] - Y, Z - lo[2], hi[2] - Z,
+    ]).astype(np.float32)
+    spacing = tuple((a[1] - a[0]) for a in axes)
+    verts, tris = marching_cubes(field, 0.0,
+                                 origin=(axes[0][0], axes[1][0], axes[2][0]),
+                                 spacing=spacing)
+    tris = cull_mesh(verts, tris, poses, cam["H"], cam["W"], cam["fx"],
+                     cam["fy"], cam["cx"], cam["cy"])
+    write_ply(path, verts, tris)
     return path
 
 
@@ -73,6 +76,9 @@ def main() -> None:
     cfg["coarse"] = False
     cfg["verbose"] = False
     cfg["data"]["n_frames"] = args.frames
+    # per-frame motion comparable to Replica @ 30 fps (the tracker's 10
+    # Adam iterations budget ~1 cm/frame of correction)
+    cfg["data"]["orbit_radians"] = 0.25
     cfg["data"]["output"] = args.out
     cfg["mapping"]["iters"] = args.iters
     cfg["mapping"]["iters_first"] = args.iters_first
@@ -91,8 +97,10 @@ def main() -> None:
     ate_rmse = float(np.sqrt(np.mean(err ** 2)))
 
     room = slam.frame_reader.room
-    gt_mesh = gt_room_mesh(np.asarray(room), os.path.join(args.out,
-                                                          "gt_room.ply"))
+    gt_mesh = gt_room_mesh(
+        np.asarray(room), os.path.join(args.out, "gt_room.ply"),
+        [slam.gt_c2w_list[i] for i in range(n)], slam.cam,
+    )
     rec_mesh = os.path.join(args.out, "mesh", "final_mesh.ply")
     metrics = calc_3d_metric(rec_mesh, gt_mesh, align=True)
 
