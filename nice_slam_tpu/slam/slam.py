@@ -454,12 +454,18 @@ class NiceSLAM:
 
         def tracker_thread():
             while self.mapping_first_frame == 0:
+                if self._abort.is_set():
+                    return
                 time.sleep(0.05)
             for idx in range(1, self.n_img):
                 _, gt_color, gt_depth, gt_c2w = self.frame_reader[idx]
                 if self.sync_method == "loose":
                     while self.mapping_idx < idx - every - every // 2:
+                        if self._abort.is_set():
+                            return
                         time.sleep(0.05)
+                if self._abort.is_set():
+                    return
                 self.track_one(idx, gt_color, gt_depth, gt_c2w)
             stop.set()
 
@@ -467,6 +473,8 @@ class NiceSLAM:
             prev = -1
             first = True
             while True:
+                if self._abort.is_set():
+                    return
                 idx = self.idx
                 if idx == self.n_img - 1 and not first:
                     pass  # final frame: map it below
@@ -490,11 +498,32 @@ class NiceSLAM:
                 if idx == self.n_img - 1:
                     return
 
-        threads = [threading.Thread(target=mapper_thread, args=(False,))]
+        # A crashed mapper deadlocks the reference's tracker poll loop
+        # (src/Tracker.py:165-172, SURVEY.md §5.3).  Here every thread
+        # records its exception and trips a shared abort flag the pollers
+        # also watch, so failures surface instead of hanging.
+        errors: list = []
+        abort = threading.Event()
+        self._abort = abort
+
+        def guarded(fn, *fargs):
+            def run():
+                try:
+                    fn(*fargs)
+                except Exception as e:  # noqa: BLE001 — report any failure
+                    errors.append(e)
+                    abort.set()
+            return run
+
+        threads = [threading.Thread(target=guarded(mapper_thread, False))]
         if self.coarse_mapper is not None:
-            threads.append(threading.Thread(target=mapper_thread, args=(True,)))
-        threads.append(threading.Thread(target=tracker_thread))
+            threads.append(threading.Thread(target=guarded(mapper_thread, True)))
+        threads.append(threading.Thread(target=guarded(tracker_thread)))
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if errors:
+            raise RuntimeError(
+                f"SLAM thread failed: {errors[0]!r}"
+            ) from errors[0]
