@@ -365,6 +365,7 @@ def mapping_loss(
     mcfg: MapperConfig,
     rcfg: RenderConfig,
     pixs_per_image: int,
+    mesh=None,
 ) -> jnp.ndarray:
     """One mapping iteration's loss over the keyframe window
     (reference src/Mapper.py:426-501)."""
@@ -394,6 +395,19 @@ def mapping_loss(
     rays_d = rays_d.reshape(-1, 3)
     gt_d = gt_d.reshape(-1)
     gt_c = gt_c.reshape(-1, 3)
+
+    if mesh is not None and rays_o.shape[0] % mesh.size == 0:
+        # multi-chip: shard the ray batch over the dp axis; the scene pytree
+        # stays replicated and XLA SPMD inserts the gradient psum over ICI
+        # (see nice_slam_tpu/parallel/sharding.py for the standalone form)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ray_s = NamedSharding(mesh, P("dp"))
+        ray_s2 = NamedSharding(mesh, P("dp", None))
+        rays_o = jax.lax.with_sharding_constraint(rays_o, ray_s2)
+        rays_d = jax.lax.with_sharding_constraint(rays_d, ray_s2)
+        gt_d = jax.lax.with_sharding_constraint(gt_d, ray_s)
+        gt_c = jax.lax.with_sharding_constraint(gt_c, ray_s2)
 
     if spec.nice:
         t_exit = jax.lax.stop_gradient(ray_aabb_far(rays_o, rays_d, state.bound))
@@ -426,7 +440,8 @@ def mapping_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "mcfg", "rcfg", "stage_plan", "BA", "pixs_per_image"),
+    static_argnames=("spec", "mcfg", "rcfg", "stage_plan", "BA",
+                     "pixs_per_image", "mesh"),
 )
 def optimize_map_jit(
     spec: SceneSpec,
@@ -445,6 +460,7 @@ def optimize_map_jit(
     stage_plan: Tuple[Tuple[str, int], ...],
     BA: bool,
     pixs_per_image: int,
+    mesh=None,
 ):
     """One full optimize_map call: staged scans over jointly trained groups.
 
@@ -467,7 +483,7 @@ def optimize_map_jit(
             loss, grads = jax.value_and_grad(
                 lambda gg: mapping_loss(
                     spec, gg, state, colors, depths, fixed_c2w, opt_cam_mask,
-                    k, _stage, mcfg, rcfg, pixs_per_image,
+                    k, _stage, mcfg, rcfg, pixs_per_image, mesh,
                 )
             )(g)
             if grid_masks is not None:
@@ -533,6 +549,13 @@ class Mapper:
         # src/Mapper.py:74-76,274-287); checkpointed when enabled
         self.save_selected_keyframes_info = save_selected_keyframes_info
         self.selected_keyframes = {} if save_selected_keyframes_info else None
+        # multi-chip ray-batch data parallelism: engage automatically when
+        # more than one device is visible (scene replicated, rays sharded)
+        self.mesh = None
+        if jax.device_count() > 1:
+            from nice_slam_tpu.parallel.sharding import make_mesh
+
+            self.mesh = make_mesh()
         # runtime-adjustable copies (color refinement rewrites these,
         # reference :578-586)
         self.mapping_window_size = mcfg.mapping_window_size
@@ -635,6 +658,7 @@ class Mapper:
             self.spec, state, colors, depths, fixed_c2w, cam_tensors,
             opt_mask_j, grid_masks, jnp.asarray(lr_factor, jnp.float32),
             self._next_key(), None, mcfg, self.rcfg, plan, BA, pixs_per_image,
+            self.mesh,
         )
 
         cur_out = None

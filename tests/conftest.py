@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu"
+# via jax.config, which beats the env var — claim CPU back explicitly.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compile cache: compiles dominate test wall-time on this host.
