@@ -253,9 +253,15 @@ class NiceSLAM:
             )
             c2w = c2w_from_candidate(candidate)
             if self.verbose:
+                # loss trajectory + camera-tensor error vs GT (reference
+                # src/Tracker.py:221-244 verbose block)
                 l = np.asarray(losses)
+                gt_tensor = np.asarray(tensor_from_c2w(np.asarray(gt_c2w)))
+                err0 = float(np.mean(np.abs(gt_tensor - np.asarray(init_tensor))))
+                err1 = float(np.mean(np.abs(gt_tensor - np.asarray(candidate))))
                 print(f"Tracking Frame {idx}  re-rendering loss: "
-                      f"{l[0]:.2f}->{l[-1]:.2f}")
+                      f"{l[0]:.2f}->{l[-1]:.2f}  "
+                      f"camera tensor error: {err0:.4f}->{err1:.4f}")
             if idx % self.tracking_visualizer.freq == 0:
                 self.tracking_visualizer.vis(
                     idx, self.tcfg.iters - 1, gt_depth, gt_color, c2w, state
