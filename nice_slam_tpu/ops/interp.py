@@ -70,15 +70,8 @@ def _corner_flat_indices(grid_shape, i0, i1):
     return idxs
 
 
-@jax.custom_vjp
 def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     """Trilinearly interpolate a channels-last 3D feature grid.
-
-    Custom VJP: the grid-gradient scatter-add is emitted as a standalone
-    scatter over pre-materialized contributions (behind an optimization
-    barrier).  Left to itself, XLA fuses the weight multiplies INTO the
-    scatter and serializes it — profiled at ~8x the cost of the bare
-    scatter on TPU (PERF.md).
 
     Args:
         grid: (Nx, Ny, Nz, C) feature volume.
@@ -87,6 +80,18 @@ def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     Returns:
         (N, C) interpolated features.
     """
+    return _trilinear_impl(grid, p_nor)
+
+
+@jax.custom_vjp
+def trilinear_interp_explicit_vjp(grid: jnp.ndarray,
+                                  p_nor: jnp.ndarray) -> jnp.ndarray:
+    """Variant with a hand-written backward (grad-exact vs autodiff; see
+    tests).  The explicit contribution materialization is the scaffold for
+    a Pallas segmented-sum grid-gradient kernel (PERF.md).  NOT the default:
+    its optimization barrier defeats XLA's dead-code elimination, making
+    pose-only differentiation (the tracker) pay for the unused grid-gradient
+    scatter."""
     return _trilinear_impl(grid, p_nor)
 
 
@@ -164,7 +169,7 @@ def _trilinear_bwd(res, g):
     return dgrid, dp.astype(p_nor.dtype)
 
 
-trilinear_interp.defvjp(_trilinear_fwd, _trilinear_bwd)
+trilinear_interp_explicit_vjp.defvjp(_trilinear_fwd, _trilinear_bwd)
 
 
 def bilinear_sample_2d(
