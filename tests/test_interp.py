@@ -70,6 +70,26 @@ def test_grid_gradient_flows():
     assert int(jnp.sum(dg != 0)) <= 8 * 2
 
 
+def test_explicit_vjp_matches_autodiff():
+    from nice_slam_tpu.ops.interp import trilinear_interp_explicit_vjp
+
+    grid = jax.random.normal(jax.random.PRNGKey(8), (7, 6, 5, 4))
+    p = jax.random.uniform(jax.random.PRNGKey(9), (64, 3), minval=-1.4,
+                           maxval=1.4)
+    cot = jax.random.normal(jax.random.PRNGKey(10), (64, 4))
+
+    v1 = trilinear_interp_explicit_vjp(grid, p)
+    v2 = trilinear_interp(grid, p)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+    g1 = jax.grad(lambda g, pp: jnp.sum(
+        trilinear_interp_explicit_vjp(g, pp) * cot), argnums=(0, 1))(grid, p)
+    g2 = jax.grad(lambda g, pp: jnp.sum(
+        trilinear_interp(g, pp) * cot), argnums=(0, 1))(grid, p)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
+
+
 def test_point_gradient_zero_outside_border():
     grid = jax.random.normal(jax.random.PRNGKey(5), (4, 4, 4, 1))
 
