@@ -45,6 +45,12 @@ def main() -> None:
     # persistent compile cache: amortize XLA compiles across runs
     import jax
 
+    # optional platform override (registered accelerator plugins can ignore
+    # JAX_PLATFORMS; this knob always wins): NICE_SLAM_TPU_PLATFORM=cpu|tpu
+    plat = os.environ.get("NICE_SLAM_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
