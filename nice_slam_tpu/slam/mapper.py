@@ -337,19 +337,14 @@ def _stage_lrs(
             # iMAP: StepLR(step=200, gamma=0.8) over the call's iterations
             # (reference :388-389,422,505-507)
             lrs[k] = mcfg.imap_decoders_lr * (0.8 ** (it // 200).astype(jnp.float32))
-        elif k == "cams":
-            lrs[k] = jnp.where(stage == "color" or not spec_is_nice(mcfg), 0.0, 0.0)
-    # camera LR is stage-static:
+    # camera LR is stage-static: active only at the color stage for NICE
+    # (reference :417-419), always on for iMAP BA (:423-424)
     if "cams" in groups:
         if (not mcfg.nice) or stage == "color":
             lrs["cams"] = mcfg.BA_cam_lr
         else:
             lrs["cams"] = 0.0
     return lrs
-
-
-def spec_is_nice(mcfg):  # tiny helper to keep _stage_lrs readable
-    return mcfg.nice
 
 
 def mapping_loss(
