@@ -63,9 +63,30 @@ def main() -> None:
         estimate_c2w_list=estimate_c2w_list, gt_c2w_list=gt_c2w_list,
     )
 
+    frame_reader = None
+    if args.vis_input_frame:
+        # dump the input RGB-D stream alongside the replay (the reference
+        # shows it in a cv2 window, reference visualizer.py:60-71)
+        from nice_slam_tpu.utils.datasets import get_dataset
+
+        frame_reader = get_dataset(cfg, args, cfg["scale"])
+        os.makedirs(os.path.join(output, "inputs"), exist_ok=True)
+
     meshes = sorted(glob.glob(f"{output}/mesh/*.ply"))
     mesh_i = 0
     for i in range(0, N + 1):
+        if frame_reader is not None and i < len(frame_reader):
+            import cv2
+
+            _, color, depth, _ = frame_reader[i]
+            panel = (np.clip(color, 0, 1) * 255).astype(np.uint8)
+            d = depth / max(float(depth.max()), 1e-6)
+            d8 = (np.clip(d, 0, 1) * 255).astype(np.uint8)
+            d3 = cv2.applyColorMap(d8, cv2.COLORMAP_PLASMA)
+            side = np.concatenate(
+                [cv2.cvtColor(panel, cv2.COLOR_RGB2BGR), d3], axis=1
+            )
+            cv2.imwrite(os.path.join(output, "inputs", f"{i:05d}.jpg"), side)
         # attach the freshest mesh available at this frame (reference
         # visualizer.py:72-79 streams meshes as they appear)
         while (
