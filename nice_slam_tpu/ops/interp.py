@@ -17,8 +17,26 @@ query points (zero outside the border, like torch's clamp).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Grid-gradient strategy (see _trilinear_bwd):
+#   block (default) - ONE N-row scatter of (8C)-wide per-cell blocks at the
+#                     cell base index + 8 dense shifted adds.  The TPU's
+#                     XLA scatter lowering is a serialized per-row loop
+#                     (~13 ns/row, trace-verified round 2), so cutting rows
+#                     8x beats it >2x; the shifted adds are bandwidth-cheap.
+#   xla             - plain 8N-row scatter-add (the round-1 path)
+#   pallas          - sorted-segment Pallas kernel (ops/segsum.py) on TPU —
+#                     measured SLOWER in-context (sequential carry chain);
+#                     kept as a documented experiment
+#   interpret       - the Pallas kernel in interpreter mode (CPU tests)
+# NICE_SLAM_TPU_SEGSUM=0 additionally disables the custom VJP entirely
+# (plain autodiff, debug only).
+_SEGSUM_MODE = os.environ.get("NICE_SLAM_TPU_SEGSUM", "auto")
+_DGRAD_MODE = os.environ.get("NICE_SLAM_TPU_DGRAD", "block")
 
 
 def _trilinear_corners(grid_shape, p_nor):
@@ -32,8 +50,11 @@ def _trilinear_corners(grid_shape, p_nor):
     frac = u - i0
     i0 = i0.astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, jnp.array([nx - 1, ny - 1, nz - 1], jnp.int32))
-    # derivative mask of the border clamp (matches jnp.clip's vjp)
-    live = ((raw >= 0.0) & (raw <= sizes - 1.0)).astype(p_nor.dtype)
+    # derivative mask of the border clamp (matches jnp.clip's vjp,
+    # including the 0.5 averaging convention at exact ties)
+    strict = ((raw > 0.0) & (raw < sizes - 1.0)).astype(p_nor.dtype)
+    tie = ((raw == 0.0) | (raw == sizes - 1.0)).astype(p_nor.dtype)
+    live = strict + 0.5 * tie
     dudp = 0.5 * (sizes - 1.0) * live  # du/dp_nor per axis
     return u, i0, i1, frac, dudp
 
@@ -73,6 +94,11 @@ def _corner_flat_indices(grid_shape, i0, i1):
 def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     """Trilinearly interpolate a channels-last 3D feature grid.
 
+    On TPU this routes through the custom-VJP variant whose grid-gradient
+    scatter is the Pallas sorted-segment kernel (ops/segsum.py) — the
+    round-1 profile showed XLA's native scatter-add lowering at 62% of the
+    mapping step (PERF.md).  Elsewhere (CPU tests) plain autodiff.
+
     Args:
         grid: (Nx, Ny, Nz, C) feature volume.
         p_nor: (N, 3) query points normalized to [-1, 1] (x, y, z order).
@@ -80,6 +106,8 @@ def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     Returns:
         (N, C) interpolated features.
     """
+    if _SEGSUM_MODE != "0":
+        return trilinear_interp_explicit_vjp(grid, p_nor)
     return _trilinear_impl(grid, p_nor)
 
 
@@ -87,11 +115,11 @@ def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
 def trilinear_interp_explicit_vjp(grid: jnp.ndarray,
                                   p_nor: jnp.ndarray) -> jnp.ndarray:
     """Variant with a hand-written backward (grad-exact vs autodiff; see
-    tests).  The explicit contribution materialization is the scaffold for
-    a Pallas segmented-sum grid-gradient kernel (PERF.md).  NOT the default:
-    its optimization barrier defeats XLA's dead-code elimination, making
-    pose-only differentiation (the tracker) pay for the unused grid-gradient
-    scatter."""
+    tests): the grid cotangent is materialized as 8N explicit corner
+    contributions and accumulated by the Pallas sorted-segment kernel on
+    TPU.  Carries no optimization barrier, so pose-only differentiation
+    (the tracker) still dead-code-eliminates the whole grid-gradient
+    branch."""
     return _trilinear_impl(grid, p_nor)
 
 
@@ -140,8 +168,50 @@ def _trilinear_fwd(grid, p_nor):
     return _trilinear_impl(grid, p_nor), (grid, p_nor)
 
 
+def _dgrid_block_scatter(grid_shape, dtype, i0, weights, g):
+    """dgrid via ONE cell-base scatter of (8C)-wide blocks + 8 shifted adds.
+
+    All 8 corner targets of a point share its cell-base flat index plus a
+    fixed offset (bx*ny*nz + by*nz + bz).  The border clamp (i1 = i0) only
+    occurs where frac = 0, i.e. where the +1-corner weights are identically
+    zero — so scattering into a virtually-unclamped padded row space is
+    exact, and the zero contributions land in rows no slice ever reads.
+    """
+    nx, ny, nz, C = grid_shape
+    V = nx * ny * nz
+    offs = [(c & 1) * ny * nz + ((c >> 1) & 1) * nz + ((c >> 2) & 1)
+            for c in range(8)]
+    maxoff = max(offs)
+    base = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
+    contribs8 = jnp.concatenate([w[:, None] * g for w in weights], axis=1)
+    A = jnp.zeros((maxoff + V, 8 * C), dtype).at[base + maxoff].add(contribs8)
+    out = jnp.zeros((V, C), dtype)
+    for c, off in enumerate(offs):
+        out = out + jax.lax.dynamic_slice(A, (maxoff - off, c * C), (V, C))
+    return out.reshape(grid_shape)
+
+
+def _dgrid_scatter(grid_shape, dtype, flat_idx, contribs):
+    """Accumulate (8N, C) corner contributions into the flat grid
+    (the 'xla' and 'pallas'/'interpret' strategies)."""
+    nx, ny, nz, C = grid_shape
+    V = nx * ny * nz
+    from nice_slam_tpu.ops.segsum import MAX_VOXELS, sorted_segment_scatter
+
+    on_tpu = jax.default_backend() == "tpu"
+    if _DGRAD_MODE in ("pallas", "interpret") and V < MAX_VOXELS:
+        dflat = sorted_segment_scatter(
+            flat_idx, contribs.astype(jnp.float32), V,
+            interpret=not on_tpu,
+        ).astype(dtype)
+    else:
+        dflat = jnp.zeros((V, C), dtype).at[flat_idx].add(contribs)
+    return dflat.reshape(grid_shape)
+
+
 def _trilinear_bwd(res, g):
-    """Backward: dgrid via de-fused scatter-add, dp via corner re-gather."""
+    """Backward: dgrid via the cell-block scatter (default), dp via corner
+    re-gather."""
     grid, p_nor = res
     nx, ny, nz, C = grid.shape
     n = p_nor.shape[0]
@@ -149,14 +219,12 @@ def _trilinear_bwd(res, g):
     weights, dweights = _corner_weights(frac)
     idxs = _corner_flat_indices(grid.shape, i0, i1)
 
-    # ---- dgrid: (8N, C) contributions -> one bare scatter-add ----
-    contribs = jnp.concatenate([w[:, None] * g for w in weights], axis=0)
-    flat_idx = jnp.concatenate(idxs, axis=0)
-    # the barrier stops XLA from fusing the multiplies into the scatter,
-    # which would serialize it (see docstring)
-    flat_idx, contribs = jax.lax.optimization_barrier((flat_idx, contribs))
-    dflat = jnp.zeros((nx * ny * nz, C), grid.dtype).at[flat_idx].add(contribs)
-    dgrid = dflat.reshape(grid.shape)
+    if _DGRAD_MODE == "block":
+        dgrid = _dgrid_block_scatter(grid.shape, grid.dtype, i0, weights, g)
+    else:
+        contribs = jnp.concatenate([w[:, None] * g for w in weights], axis=0)
+        flat_idx = jnp.concatenate(idxs, axis=0)
+        dgrid = _dgrid_scatter(grid.shape, grid.dtype, flat_idx, contribs)
 
     # ---- dp: sum_k (g . c_k) * dw_k/dfrac * du/dp ----
     flat = grid.reshape(-1, C)
