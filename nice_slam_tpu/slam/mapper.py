@@ -449,7 +449,7 @@ def optimize_map_jit(
     grid_masks: Optional[Dict[str, jnp.ndarray]],
     lr_factor: jnp.ndarray,
     key: jax.Array,
-    spec2: None,  # placeholder to keep signature stable
+    adam_in,  # None (fresh optimizer) | (GroupAdamState, it0) carried chunk
     mcfg: MapperConfig,
     rcfg: RenderConfig,
     stage_plan: Tuple[Tuple[str, int], ...],
@@ -459,12 +459,20 @@ def optimize_map_jit(
 ):
     """One full optimize_map call: staged scans over jointly trained groups.
 
-    Returns (new_state, new_cam_tensors, losses (num_iters,)).
+    ``adam_in`` lets the host split one logical optimize_map call into
+    several jit calls (the per-iteration visualizer renders between chunks,
+    reference src/Mapper.py:444-448) while keeping exact fresh-Adam-per-call
+    semantics: pass None for the first chunk, the returned carry after.
+
+    Returns (new_state, new_cam_tensors, losses (num_iters,), adam_carry).
     """
     groups = _opt_param_groups(spec, state, mcfg, cam_tensors, BA)
-    adam = init_group_adam(groups)
+    if adam_in is None:
+        adam = init_group_adam(groups)
+        it0 = jnp.zeros((), jnp.int32)
+    else:
+        adam, it0 = adam_in
 
-    it0 = jnp.zeros((), jnp.int32)
     all_losses = []
     carry = (groups, adam, it0)
 
@@ -494,10 +502,10 @@ def optimize_map_jit(
         carry, losses = jax.lax.scan(step, carry, keys)
         all_losses.append(losses)
 
-    groups, adam, _ = carry
+    groups, adam, it_out = carry
     new_state = _merge_scene(spec, state, groups)
     new_cams = groups.get("cams", cam_tensors)
-    return new_state, new_cams, jnp.concatenate(all_losses)
+    return new_state, new_cams, jnp.concatenate(all_losses), (adam, it_out)
 
 
 def stage_plan_for(
@@ -521,6 +529,39 @@ def stage_plan_for(
     n_fine = min(num_joint_iters, int(num_joint_iters * fr) + 1) - n_mid
     n_color = num_joint_iters - n_mid - n_fine
     return (("middle", n_mid), ("fine", max(n_fine, 0)), ("color", max(n_color, 0)))
+
+
+def split_plan(
+    plan: Tuple[Tuple[str, int], ...], boundaries
+) -> List[Tuple[Tuple[str, int], ...]]:
+    """Cut a stage plan at global-iteration boundaries.
+
+    Each returned chunk is itself a stage plan; running the chunks back to
+    back (carrying the optimizer) is iteration-for-iteration identical to
+    running ``plan`` in one call.  Used to hand control back to the host at
+    per-iteration visualization points (reference src/Mapper.py:444-448).
+    """
+    bset = sorted(b for b in set(boundaries) if b > 0)
+    chunks: List[Tuple[Tuple[str, int], ...]] = []
+    cur: List[Tuple[str, int]] = []
+    g, bi = 0, 0
+    for stage, n in plan:
+        rem = n
+        while rem > 0:
+            if bi < len(bset) and bset[bi] == g:
+                if cur:
+                    chunks.append(tuple(cur))
+                    cur = []
+                bi += 1
+                continue
+            nxt = bset[bi] if bi < len(bset) else None
+            take = rem if nxt is None else min(rem, nxt - g)
+            cur.append((stage, take))
+            g += take
+            rem -= take
+    if cur:
+        chunks.append(tuple(cur))
+    return chunks
 
 
 class Mapper:
@@ -575,8 +616,17 @@ class Mapper:
         keyframes,
         cur_c2w: np.ndarray,
         BA: bool,
+        vis_hook=None,
+        vis_every: int = 0,
     ):
-        """One mapping call. Returns (new_state, cur_c2w|None, losses)."""
+        """One mapping call. Returns (new_state, cur_c2w|None, losses).
+
+        ``vis_hook(global_iter, state)`` — when given (with ``vis_every`` =
+        the vis_inside_freq) — is invoked with the pre-iteration scene state
+        at every ``vis_every``-th iteration, matching the reference's
+        in-loop Visualizer.vis calls (src/Mapper.py:444-448); the optimize
+        call is split into jit chunks at those boundaries with the optimizer
+        state carried across (bit-equal to the unsplit call)."""
         mcfg = dataclasses.replace(
             self.mcfg,
             mapping_window_size=self.mapping_window_size,
@@ -649,12 +699,29 @@ class Mapper:
         pixs_per_image = mcfg.pixels // F
         plan = stage_plan_for(mcfg, num_joint_iters)
 
-        new_state, new_cams, losses = optimize_map_jit(
-            self.spec, state, colors, depths, fixed_c2w, cam_tensors,
-            opt_mask_j, grid_masks, jnp.asarray(lr_factor, jnp.float32),
-            self._next_key(), None, mcfg, self.rcfg, plan, BA, pixs_per_image,
-            self.mesh,
-        )
+        if vis_hook is not None and vis_every > 0:
+            chunk_plans = split_plan(
+                plan, range(0, num_joint_iters, vis_every))
+        else:
+            chunk_plans = [plan]
+
+        cur_state, cur_cams = state, cam_tensors
+        adam_carry = None
+        g = 0
+        chunk_losses = []
+        for cplan in chunk_plans:
+            if vis_hook is not None and vis_every > 0 and g % vis_every == 0:
+                vis_hook(g, cur_state)
+            cur_state, cur_cams, losses, adam_carry = optimize_map_jit(
+                self.spec, cur_state, colors, depths, fixed_c2w, cur_cams,
+                opt_mask_j, grid_masks, jnp.asarray(lr_factor, jnp.float32),
+                self._next_key(), adam_carry, mcfg, self.rcfg, cplan, BA,
+                pixs_per_image, self.mesh,
+            )
+            chunk_losses.append(np.asarray(losses))
+            g += sum(n for _, n in cplan)
+        new_state, new_cams = cur_state, cur_cams
+        losses = np.concatenate(chunk_losses)
 
         cur_out = None
         if BA:

@@ -246,7 +246,7 @@ class NiceSLAM:
             with self._state_lock:
                 state = self.state  # functional snapshot (free)
 
-            candidate, losses, _ = track_frame(
+            candidate, losses, cams, _ = track_frame(
                 self.spec, state, init_tensor,
                 jnp.asarray(gt_color), jnp.asarray(gt_depth),
                 self._next_track_key(), self.tcfg, self.rcfg,
@@ -263,9 +263,18 @@ class NiceSLAM:
                       f"{l[0]:.2f}->{l[-1]:.2f}  "
                       f"camera tensor error: {err0:.4f}->{err1:.4f}")
             if idx % self.tracking_visualizer.freq == 0:
-                self.tracking_visualizer.vis(
-                    idx, self.tcfg.iters - 1, gt_depth, gt_color, c2w, state
-                )
+                # per-iteration panels: the reference renders at the top of
+                # every vis_inside_freq-th optimization iteration with the
+                # pre-step camera tensor (src/Tracker.py:225-231) — iter 0
+                # renders the motion-model init, iter i the post-step tensor
+                # of iter i-1 (the scan already returns every per-iter pose)
+                cams_np = np.asarray(cams)
+                for it in range(0, self.tcfg.iters,
+                                self.tracking_visualizer.inside_freq):
+                    pre_step = init_tensor if it == 0 else cams_np[it - 1]
+                    self.tracking_visualizer.vis(
+                        idx, it, gt_depth, gt_color, pre_step, state
+                    )
 
         self.estimate_c2w_list[idx] = c2w
         self.gt_c2w_list[idx] = np.asarray(gt_c2w, np.float32)
@@ -314,6 +323,21 @@ class NiceSLAM:
         cur_c2w = self.estimate_c2w_list[idx].copy()
         num_joint_iters = num_joint_iters // outer_joint_iters
 
+        # per-iteration residual panels inside the optimization (reference
+        # src/Mapper.py:444-448): rendered from the pre-iteration map state
+        # at every vis_inside_freq-th joint iteration of a vis frame
+        vis_hook, vis_every = None, 0
+        if (not coarse and self.mapping_visualizer is not None
+                and idx % self.mapping_visualizer.freq == 0
+                and not (idx == 0 and cfg_m["no_vis_on_first_frame"])):
+            vis_every = self.mapping_visualizer.inside_freq
+
+            def vis_hook(it, st):
+                self.mapping_visualizer.vis(
+                    idx, it, gt_depth, gt_color,
+                    self.estimate_c2w_list[idx], st,
+                )
+
         for outer in range(outer_joint_iters):
             BA = (len(self.keyframes) > 4) and cfg_m["BA"] and not coarse
 
@@ -322,6 +346,7 @@ class NiceSLAM:
             new_state, cur_out, losses = mapper.optimize_map(
                 state, num_joint_iters, lr_factor, idx,
                 gt_color, gt_depth, gt_c2w, self.keyframes, cur_c2w, BA,
+                vis_hook=vis_hook, vis_every=vis_every,
             )
             with self._state_lock:
                 if coarse:
@@ -354,14 +379,6 @@ class NiceSLAM:
 
         self.mapping_first_frame = 1
         if not coarse:
-            if self.mapping_visualizer is not None and idx % self.mapping_visualizer.freq == 0 \
-                    and not (idx == 0 and cfg_m["no_vis_on_first_frame"]):
-                with self._state_lock:
-                    state = self.state
-                self.mapping_visualizer.vis(
-                    idx, num_joint_iters - 1, gt_depth, gt_color,
-                    self.estimate_c2w_list[idx], state,
-                )
             if ((not (idx == 0 and cfg_m["no_log_on_first_frame"]))
                     and idx % cfg_m["ckpt_freq"] == 0) or idx == self.n_img - 1:
                 self.logger.log(idx, self.state, self.estimate_c2w_list,

@@ -148,10 +148,12 @@ def track_frame(
     key: jax.Array,
     tcfg: TrackerConfig,
     rcfg: RenderConfig,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the full per-frame tracking loop on-device.
 
-    Returns (candidate_cam_tensor, losses (iters,), final_cam_tensor).
+    Returns (candidate_cam_tensor, losses (iters,), cams (iters, 7) —
+    the post-step tensor of every iteration, used by the per-iteration
+    visualizer — and the final_cam_tensor).
     """
     if tcfg.seperate_LR:
         # quaternion components at 0.2x LR (reference :212-213)
@@ -176,7 +178,7 @@ def track_frame(
     (cam_final, _), (losses, cams) = jax.lax.scan(step, (init_tensor, adam0), keys)
     best = jnp.argmin(losses)
     candidate = cams[best]
-    return candidate, losses, cam_final
+    return candidate, losses, cams, cam_final
 
 
 def const_speed_init(

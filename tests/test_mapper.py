@@ -153,3 +153,20 @@ def test_keyframe_store_roundtrip():
     np.testing.assert_allclose(np.asarray(poses[1]), p, atol=1e-6)
     store.set_est_c2w(0, p2)
     np.testing.assert_allclose(np.asarray(store.arrays.est_c2w[0]), p2)
+
+
+def test_keyframe_store_grows_past_capacity():
+    """Admission past the initial capacity grows the store instead of
+    crashing (decoupled mapping cadence in 'free' sync — VERDICT weak #6)."""
+    store = KeyframeStore(2, 8, 10)
+    c = np.zeros((8, 10, 3), np.float32)
+    d = np.ones((8, 10), np.float32)
+    p = np.eye(4, dtype=np.float32)
+    for i in range(5):
+        ci = c + i
+        store.add(i, ci, d, p, p)
+    assert len(store) == 5
+    assert store.capacity >= 5
+    colors, _, poses = store.gather_window([4, 0])
+    np.testing.assert_allclose(np.asarray(colors[0]), c + 4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(poses[1]), p, atol=1e-6)

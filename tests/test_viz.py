@@ -1,4 +1,9 @@
-"""Offline viewer: mesh replay rendering + video export."""
+"""Offline viewer: mesh replay rendering + video export; per-iteration
+residual-panel visualizer gating (reference src/Tracker.py:229-231,
+src/Mapper.py:444-448, src/utils/Visualizer.py:24-107)."""
+
+import argparse
+import os
 
 import numpy as np
 
@@ -49,3 +54,29 @@ def test_frontend_replay_and_video(tmp_path):
 
     cap = cv2.VideoCapture(video)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+
+
+def test_per_iteration_vis_panels(tmp_path):
+    """Panels must fire at iteration 0 and every vis_inside_freq INSIDE the
+    optimization loops (round-1 regression: the caller passed iters-1, which
+    is never divisible by the default inside_freq, so stock configs produced
+    zero panels)."""
+    from test_slam_integration import small_cfg
+
+    cfg = small_cfg(tmp_path, n_frames=6, gt_camera=False)
+    cfg["tracking"].update({"vis_freq": 5, "vis_inside_freq": 4})
+    cfg["mapping"].update({"vis_freq": 5, "vis_inside_freq": 10})
+    from nice_slam_tpu.slam.slam import NiceSLAM
+
+    args = argparse.Namespace(nice=True, input_folder=None, output=None)
+    slam = NiceSLAM(cfg, args)
+    slam.run()
+
+    # tracking: 6 iters/frame, inside_freq 4 -> panels at iters 0 and 4
+    for it in (0, 4):
+        p = os.path.join(slam.output, "tracking_vis", f"00005_{it:04d}.jpg")
+        assert os.path.exists(p), f"missing tracking panel {p}"
+    # mapping: 30 iters/call, inside_freq 10 -> panels at iters 0, 10, 20
+    for it in (0, 10, 20):
+        p = os.path.join(slam.output, "mapping_vis", f"00005_{it:04d}.jpg")
+        assert os.path.exists(p), f"missing mapping panel {p}"
