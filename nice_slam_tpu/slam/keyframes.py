@@ -38,10 +38,30 @@ class KeyframeStore:
     def __len__(self) -> int:
         return len(self.frame_ids)
 
+    def _grow(self) -> None:
+        """Double the backing arrays (amortized O(1) per admission).
+
+        The initial capacity covers the stock admission schedule
+        (n_img // keyframe_every + slack); decoupled mapping cadences
+        (sync_method 'free') or denser admission policies simply grow the
+        store instead of crashing mid-run."""
+        a = self.arrays
+        pad = self.capacity  # double
+        eye = jnp.tile(jnp.eye(4, dtype=jnp.float32), (pad, 1, 1))
+        self.arrays = KeyframeArrays(
+            colors=jnp.concatenate(
+                [a.colors, jnp.zeros((pad,) + a.colors.shape[1:], jnp.float32)]),
+            depths=jnp.concatenate(
+                [a.depths, jnp.zeros((pad,) + a.depths.shape[1:], jnp.float32)]),
+            est_c2w=jnp.concatenate([a.est_c2w, eye]),
+            gt_c2w=jnp.concatenate([a.gt_c2w, eye]),
+        )
+        self.capacity += pad
+
     def add(self, frame_idx: int, color, depth, est_c2w, gt_c2w) -> None:
         i = len(self.frame_ids)
         if i >= self.capacity:
-            raise RuntimeError("keyframe store capacity exceeded")
+            self._grow()
         a = self.arrays
         self.arrays = KeyframeArrays(
             colors=a.colors.at[i].set(jnp.asarray(color, jnp.float32)),
