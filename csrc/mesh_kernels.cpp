@@ -213,6 +213,174 @@ int marching_tetrahedra(const float* field, int64_t nx, int64_t ny, int64_t nz,
   return 0;
 }
 
+// Classic cube-cell marching cubes (the reference meshes with
+// skimage.measure.marching_cubes, src/utils/Mesher.py:441-458).
+//
+// Topology is produced per CUBE cell (vertices only on cube edges, unlike
+// marching tetrahedra which adds diagonal vertices), via face-consistent
+// contour tracing instead of the memorized 256-case table:
+//   * each of the 6 faces is contoured with marching squares, the ambiguous
+//     diagonal case resolved by the face-center average — a rule that uses
+//     face data only, so the two cells sharing a face always agree
+//     (watertight by construction, like MC33's face deciders);
+//   * segments are directed so the inside (field < level) region lies to
+//     the left viewed from outside the cell; every intersection point gets
+//     exactly one incoming and one outgoing segment, so the segments chain
+//     into closed loops which are fan-triangulated.
+int marching_cubes_classic(const float* field, int64_t nx, int64_t ny,
+                           int64_t nz, float level, const float* origin,
+                           const float* spacing, float** out_verts,
+                           int64_t* n_verts, int64_t** out_tris,
+                           int64_t* n_tris) {
+  if (nx < 2 || ny < 2 || nz < 2) {
+    *out_verts = nullptr;
+    *out_tris = nullptr;
+    *n_verts = 0;
+    *n_tris = 0;
+    return 0;
+  }
+  MeshBuilder mb;
+  mb.verts.reserve(1 << 16);
+  mb.tris.reserve(1 << 16);
+
+  const float ox = origin[0], oy = origin[1], oz = origin[2];
+  const float sx = spacing[0], sy = spacing[1], sz = spacing[2];
+
+  auto gid = [ny, nz](int64_t ix, int64_t iy, int64_t iz) -> uint64_t {
+    return static_cast<uint64_t>((ix * ny + iy) * nz + iz);
+  };
+
+  // Face corner cycles, CCW viewed from OUTSIDE the cell (verified:
+  // (q1-q0)x(q2-q0) points along the outward face normal).  Corner
+  // numbering bit0->+x, bit1->+y, bit2->+z.
+  static const int kFaces[6][4] = {
+      {0, 4, 6, 2},  // -x
+      {1, 3, 7, 5},  // +x
+      {0, 1, 5, 4},  // -y
+      {2, 6, 7, 3},  // +y
+      {0, 2, 3, 1},  // -z
+      {4, 5, 7, 6},  // +z
+  };
+
+  float cv[8];
+  V3 cp[8];
+  uint64_t cg[8];
+  // per-cell segment list: (start vertex, end vertex), <= 2 per face
+  int64_t seg_s[12], seg_e[12];
+
+  for (int64_t ix = 0; ix + 1 < nx; ++ix) {
+    for (int64_t iy = 0; iy + 1 < ny; ++iy) {
+      const float* col0 = field + (ix * ny + iy) * nz;
+      const float* col1 = field + (ix * ny + iy + 1) * nz;
+      const float* col2 = field + ((ix + 1) * ny + iy) * nz;
+      const float* col3 = field + ((ix + 1) * ny + iy + 1) * nz;
+      for (int64_t iz = 0; iz + 1 < nz; ++iz) {
+        cv[0] = col0[iz];
+        cv[1] = col2[iz];
+        cv[2] = col1[iz];
+        cv[3] = col3[iz];
+        cv[4] = col0[iz + 1];
+        cv[5] = col2[iz + 1];
+        cv[6] = col1[iz + 1];
+        cv[7] = col3[iz + 1];
+
+        bool any_lo = false, any_hi = false;
+        for (int c = 0; c < 8; ++c) {
+          if (cv[c] < level) any_lo = true; else any_hi = true;
+        }
+        if (!any_lo || !any_hi) continue;
+
+        for (int c = 0; c < 8; ++c) {
+          const int64_t dx = c & 1, dy = (c >> 1) & 1, dz = (c >> 2) & 1;
+          cp[c].x = ox + sx * static_cast<float>(ix + dx);
+          cp[c].y = oy + sy * static_cast<float>(iy + dy);
+          cp[c].z = oz + sz * static_cast<float>(iz + dz);
+          cg[c] = gid(ix + dx, iy + dy, iz + dz);
+        }
+
+        int n_seg = 0;
+        for (int f = 0; f < 6; ++f) {
+          const int* q = kFaces[f];
+          bool in[4];
+          int n_in = 0;
+          for (int k = 0; k < 4; ++k) {
+            in[k] = cv[q[k]] < level;
+            n_in += in[k] ? 1 : 0;
+          }
+          if (n_in == 0 || n_in == 4) continue;
+          // edge k = q[k] -> q[(k+1)%4]; intersection point where signs
+          // differ (deduplicated globally on the cube edge)
+          int64_t pt[4];
+          for (int k = 0; k < 4; ++k) {
+            const int a = q[k], b = q[(k + 1) & 3];
+            pt[k] = (in[k] != in[(k + 1) & 3])
+                        ? mb.edge_vertex(cg[a], cg[b], cp[a], cp[b], cv[a],
+                                         cv[b], level)
+                        : -1;
+          }
+          // ambiguous diagonal case: the face-center average decides the
+          // pairing (consistent across the two cells sharing this face)
+          const bool center_in =
+              0.25f * (cv[q[0]] + cv[q[1]] + cv[q[2]] + cv[q[3]]) < level;
+          for (int k = 0; k < 4; ++k) {
+            if (!(in[k] && !in[(k + 1) & 3])) continue;  // in->out start
+            // scan for the matching out->in edge: forward when the center
+            // is inside (band pairing), backward otherwise
+            for (int s = 1; s < 4; ++s) {
+              const int m = center_in ? (k + s) & 3 : (k - s + 4) & 3;
+              if (!in[m] && in[(m + 1) & 3]) {
+                seg_s[n_seg] = pt[k];
+                seg_e[n_seg] = pt[m];
+                ++n_seg;
+                break;
+              }
+            }
+          }
+        }
+
+        // chain directed segments into loops, fan-triangulate each
+        bool used[12] = {false};
+        for (int s0 = 0; s0 < n_seg; ++s0) {
+          if (used[s0]) continue;
+          int64_t loop[12];
+          int len = 0;
+          int cur = s0;
+          while (true) {
+            used[cur] = true;
+            loop[len++] = seg_s[cur];
+            const int64_t target = seg_e[cur];
+            if (target == seg_s[s0] || len >= 12) break;
+            int nxt = -1;
+            for (int s = 0; s < n_seg; ++s) {
+              if (!used[s] && seg_s[s] == target) {
+                nxt = s;
+                break;
+              }
+            }
+            if (nxt < 0) break;  // open chain (degenerate values) — drop tail
+            cur = nxt;
+          }
+          for (int k = 1; k + 1 < len; ++k) {
+            mb.tri(loop[0], loop[k], loop[k + 1]);
+          }
+        }
+      }
+    }
+  }
+
+  *n_verts = static_cast<int64_t>(mb.verts.size() / 3);
+  *n_tris = static_cast<int64_t>(mb.tris.size() / 3);
+  *out_verts = static_cast<float*>(std::malloc(mb.verts.size() * sizeof(float)));
+  *out_tris =
+      static_cast<int64_t*>(std::malloc(mb.tris.size() * sizeof(int64_t)));
+  if ((*out_verts == nullptr && !mb.verts.empty()) ||
+      (*out_tris == nullptr && !mb.tris.empty()))
+    return 1;
+  std::memcpy(*out_verts, mb.verts.data(), mb.verts.size() * sizeof(float));
+  std::memcpy(*out_tris, mb.tris.data(), mb.tris.size() * sizeof(int64_t));
+  return 0;
+}
+
 // Label connected components of a triangle mesh (vertex-connectivity).
 // Writes a component id per triangle into comp_out (n_tris) and the triangle
 // area sum per component into area_out (n_tris capacity; entry c valid for

@@ -37,8 +37,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         except (subprocess.CalledProcessError, FileNotFoundError):
             return None
     lib = ctypes.CDLL(so)
-    lib.marching_tetrahedra.restype = ctypes.c_int
-    lib.marching_tetrahedra.argtypes = [
+    _mc_argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
@@ -47,6 +46,10 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.marching_tetrahedra.restype = ctypes.c_int
+    lib.marching_tetrahedra.argtypes = _mc_argtypes
+    lib.marching_cubes_classic.restype = ctypes.c_int
+    lib.marching_cubes_classic.argtypes = _mc_argtypes
     lib.mesh_components.restype = ctypes.c_int64
     lib.mesh_components.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -156,14 +159,23 @@ def marching_cubes(
     level: float,
     origin=(0.0, 0.0, 0.0),
     spacing=(1.0, 1.0, 1.0),
+    method: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Iso-surface of a (nx, ny, nz) scalar field at ``level``.
+
+    ``method``: 'mc' (default) = classic per-cube marching cubes with
+    face-consistent ambiguity resolution — same vertex placement and
+    cube-cell topology family as the reference's skimage marching_cubes
+    (src/utils/Mesher.py:441-458); 'tets' = marching tetrahedra (denser
+    triangulation).  Env override: NICE_SLAM_TPU_MC.
 
     Returns (vertices (V, 3) float32 world coords, triangles (T, 3) int64).
     Surface orientation: triangles wind around the region where
     ``field < level`` (matching the occupancy convention where higher value
     = occupied and the iso-surface bounds occupied space).
     """
+    if method is None:
+        method = os.environ.get("NICE_SLAM_TPU_MC", "mc")
     field = np.ascontiguousarray(field, dtype=np.float32)
     lib = _load_lib()
     if lib is not None:
@@ -173,7 +185,9 @@ def marching_cubes(
         tris_p = ctypes.POINTER(ctypes.c_int64)()
         nv = ctypes.c_int64()
         nt = ctypes.c_int64()
-        rc = lib.marching_tetrahedra(
+        fn = (lib.marching_cubes_classic if method == "mc"
+              else lib.marching_tetrahedra)
+        rc = fn(
             field.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             field.shape[0], field.shape[1], field.shape[2],
             float(level), origin_a, spacing_a,
@@ -181,7 +195,7 @@ def marching_cubes(
             ctypes.byref(tris_p), ctypes.byref(nt),
         )
         if rc != 0:
-            raise MemoryError("marching_tetrahedra failed")
+            raise MemoryError("marching cubes failed")
         if nv.value == 0:
             return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
         verts = np.ctypeslib.as_array(verts_p, shape=(nv.value, 3)).copy()
