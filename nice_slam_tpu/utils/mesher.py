@@ -45,13 +45,30 @@ import os
 _USE_FUSED = os.environ.get("NICE_SLAM_TPU_FUSED", "0") == "1"
 
 
-@partial(jax.jit, static_argnames=("spec", "stage"))
-def _eval_chunk(spec, state, pts, stage):
+@partial(jax.jit, static_argnames=("spec", "stage", "mesh"))
+def _eval_chunk(spec, state, pts, stage, mesh=None):
+    if mesh is not None and pts.shape[0] % mesh.size == 0:
+        # multi-chip: shard the lattice points over the dp axis (scene
+        # replicated) — the largest single query volume in the system
+        # (resolution^3 nodes per mesh extraction)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pts = jax.lax.with_sharding_constraint(
+            pts, NamedSharding(mesh, P("dp", None)))
     if _USE_FUSED:
         from nice_slam_tpu.ops.fused import fused_eval_points
 
         return fused_eval_points(spec, state, pts, stage)
     return eval_points(spec, state, pts, stage)
+
+
+def _query_mesh():
+    """The dp device mesh for lattice queries (None single-device)."""
+    if jax.device_count() > 1:
+        from nice_slam_tpu.parallel.sharding import make_mesh
+
+        return make_mesh()
+    return None
 
 
 def chunked_eval(
@@ -61,12 +78,14 @@ def chunked_eval(
     """Occupancy (raw[:, 3]) for a large point set, fixed-size device chunks."""
     n = len(points)
     out = np.zeros((n,), np.float32)
+    mesh = _query_mesh()
     for i in range(0, n, chunk):
         p = points[i : i + chunk]
         pad = chunk - len(p)
         if pad > 0:
             p = np.pad(p, ((0, pad), (0, 0)))
-        raw = _eval_chunk(spec, state, jnp.asarray(p, jnp.float32), stage)
+        raw = _eval_chunk(spec, state, jnp.asarray(p, jnp.float32), stage,
+                          mesh)
         out[i : i + chunk] = np.asarray(raw[: chunk - pad, 3])
     return out
 
@@ -76,12 +95,14 @@ def chunked_color(
 ) -> np.ndarray:
     n = len(points)
     out = np.zeros((n, 3), np.float32)
+    mesh = _query_mesh()
     for i in range(0, n, chunk):
         p = points[i : i + chunk]
         pad = chunk - len(p)
         if pad > 0:
             p = np.pad(p, ((0, pad), (0, 0)))
-        raw = _eval_chunk(spec, state, jnp.asarray(p, jnp.float32), "color")
+        raw = _eval_chunk(spec, state, jnp.asarray(p, jnp.float32), "color",
+                          mesh)
         out[i : i + chunk] = np.asarray(raw[: chunk - pad, :3])
     return out
 
