@@ -1,0 +1,170 @@
+"""loose/free sync hardening (round-2; VERDICT r1 weak #5 / next #6).
+
+Covers: the loose-mode bounded-lag invariant under an artificially slow
+mapper, loose-mode tracking quality vs strict on the same sequence, and
+the coarse-grid merge under concurrent mapper/coarse-mapper updates
+(reference semantics: src/Tracker.py:161-175, src/Mapper.py:550-563).
+"""
+
+import argparse
+import os
+import threading
+import time
+
+import numpy as np
+
+from nice_slam_tpu.config import load_config
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _small_cfg(tmp, n_frames, sync_method, coarse=False):
+    cfg = load_config(os.path.join(ROOT, "configs", "Synthetic", "box.yaml"),
+                      os.path.join(ROOT, "configs", "nice_slam.yaml"))
+    cfg["sync_method"] = sync_method
+    cfg["coarse"] = coarse
+    cfg["verbose"] = False
+    cfg["data"]["n_frames"] = n_frames
+    cfg["data"]["output"] = str(tmp)
+    cfg["data"]["orbit_radians"] = 0.15  # slow orbit: trackable in 6 iters
+    cfg["cam"].update({"H": 60, "W": 80, "fx": 60.0, "fy": 60.0,
+                       "cx": 39.5, "cy": 29.5})
+    cfg["tracking"].update({"gt_camera": False, "pixels": 100, "iters": 6,
+                            "ignore_edge_W": 4, "ignore_edge_H": 4})
+    cfg["mapping"].update({"pixels": 200, "iters_first": 60, "iters": 20,
+                           "every_frame": 4, "keyframe_every": 4,
+                           "mesh_freq": 10 ** 6, "ckpt_freq": 10 ** 6})
+    cfg["rendering"].update({"N_samples": 12, "N_surface": 6})
+    cfg["meshing"]["eval_rec"] = False
+    return cfg
+
+
+def _ate(slam, n):
+    from nice_slam_tpu.tools.eval_ate import align
+
+    gt = slam.gt_c2w_list[:n, :3, 3].T
+    est = slam.estimate_c2w_list[:n, :3, 3].T
+    _, _, err = align(est, gt)
+    return float(np.sqrt(np.mean(err ** 2)))
+
+
+def test_loose_bounded_lag_with_slow_mapper(tmp_path):
+    """The loose gate must hold the tracker within every_frame +
+    every_frame//2 frames of the last mapped frame even when the mapper is
+    much slower than the tracker (reference src/Tracker.py:168-172)."""
+    from nice_slam_tpu.slam.slam import NiceSLAM
+
+    cfg = _small_cfg(tmp_path, n_frames=10, sync_method="loose")
+    args = argparse.Namespace(nice=True, input_folder=None, output=None)
+    slam = NiceSLAM(cfg, args)
+
+    orig_map = slam.mapper.optimize_map
+
+    def slow_map(*a, **k):
+        time.sleep(0.4)  # mapper ~10x slower than a tracked frame
+        return orig_map(*a, **k)
+
+    slam.mapper.optimize_map = slow_map
+
+    lags = []
+    orig_track = slam.track_one
+
+    def recording_track(idx, *a, **k):
+        lags.append((idx, slam.mapping_idx))
+        return orig_track(idx, *a, **k)
+
+    slam.track_one = recording_track
+    slam.run()
+
+    every = cfg["mapping"]["every_frame"]
+    bound = every + every // 2
+    assert lags, "tracker never ran"
+    for idx, mapped in lags:
+        assert idx - mapped <= bound, (
+            f"bounded-lag violated: tracked {idx} with mapping_idx {mapped} "
+            f"(bound {bound})")
+    # every frame got a pose, nothing deadlocked
+    assert np.isfinite(slam.estimate_c2w_list[:10]).all()
+
+
+def test_loose_ate_comparable_to_strict(tmp_path):
+    """loose scheduling may lag the map but must not wreck tracking on the
+    slow synthetic orbit."""
+    from nice_slam_tpu.slam.slam import NiceSLAM
+
+    n = 8
+    args = argparse.Namespace(nice=True, input_folder=None, output=None)
+
+    slam_s = NiceSLAM(_small_cfg(tmp_path / "strict", n, "strict"), args)
+    slam_s.run()
+    ate_s = _ate(slam_s, n)
+
+    slam_l = NiceSLAM(_small_cfg(tmp_path / "loose", n, "loose"), args)
+    slam_l.run()
+    ate_l = _ate(slam_l, n)
+
+    assert ate_s < 0.1, f"strict ATE regressed: {ate_s}"
+    # loose runs the same optimizers with a possibly stale map snapshot;
+    # allow slack but catch gross divergence (e.g. lost updates)
+    assert ate_l < max(3 * ate_s, 0.12), (
+        f"loose ATE {ate_l} vs strict {ate_s}")
+
+
+def test_coarse_merge_no_lost_updates(tmp_path):
+    """The coarse mapper owns only grid_coarse; concurrent merges from the
+    main mapper and the coarse mapper must never drop each other's writes
+    (slam.py merge block under _state_lock)."""
+    from nice_slam_tpu.slam.slam import NiceSLAM
+
+    cfg = _small_cfg(tmp_path, n_frames=4, sync_method="strict", coarse=True)
+    args = argparse.Namespace(nice=True, input_folder=None, output=None)
+    slam = NiceSLAM(cfg, args)
+
+    # Simulate the two mappers' concurrent publish paths directly: each
+    # "update" bumps its own grid by +1; after N rounds of interleaved
+    # merges from two threads, both counters must equal N (no lost update).
+    rounds = 200
+    errors = []
+
+    def main_mapper_updates():
+        try:
+            for _ in range(rounds):
+                with slam._state_lock:
+                    state = slam.state
+                new_grids = dict(state.grids)
+                new_grids["grid_fine"] = state.grids["grid_fine"] + 1.0
+                new_state = state._replace(grids=new_grids)
+                with slam._state_lock:
+                    # main-mapper merge: adopt everything but preserve the
+                    # authoritative coarse grid (slam.py:334-338)
+                    grids = dict(new_state.grids)
+                    grids["grid_coarse"] = slam.state.grids["grid_coarse"]
+                    slam.state = new_state._replace(grids=grids)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def coarse_mapper_updates():
+        try:
+            for _ in range(rounds):
+                with slam._state_lock:
+                    state = slam.state
+                new_coarse = state.grids["grid_coarse"] + 1.0
+                with slam._state_lock:
+                    # coarse merge: write only grid_coarse (slam.py:329-333)
+                    grids = dict(slam.state.grids)
+                    grids["grid_coarse"] = new_coarse
+                    slam.state = slam.state._replace(grids=grids)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    base_fine = np.asarray(slam.state.grids["grid_fine"]).copy()
+    base_coarse = np.asarray(slam.state.grids["grid_coarse"]).copy()
+    t1 = threading.Thread(target=main_mapper_updates)
+    t2 = threading.Thread(target=coarse_mapper_updates)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+
+    dfine = np.asarray(slam.state.grids["grid_fine"]) - base_fine
+    dcoarse = np.asarray(slam.state.grids["grid_coarse"]) - base_coarse
+    np.testing.assert_allclose(dfine, rounds, atol=1e-4)
+    np.testing.assert_allclose(dcoarse, rounds, atol=1e-4)
