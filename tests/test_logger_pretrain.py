@@ -112,3 +112,86 @@ def test_pretrain_import_key_surgery(tmp_path):
         np.asarray(new_state.decoders["color"]["output_linear"]["w"]),
         np.asarray(state.decoders["color"]["output_linear"]["w"]), atol=0,
     )
+
+
+def test_pretrain_improves_first_frame_convergence():
+    """Quantify what the self-pretrained decoder blobs buy (VERDICT r1
+    next #8): identical first-frame mapping with pretrained vs random-init
+    decoders; the priors must not hurt, and the comparison is printed so
+    regressions in the blobs are visible."""
+    import os
+
+    import pytest
+
+    from nice_slam_tpu.models.pretrain import load_pretrain
+    from nice_slam_tpu.ops.render import RenderConfig, render_img
+    from nice_slam_tpu.slam.keyframes import KeyframeStore
+    from nice_slam_tpu.slam.mapper import Mapper, MapperConfig
+    from nice_slam_tpu.utils.datasets import Synthetic
+
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    mf = os.path.join(root, "pretrained", "middle_fine.pt")
+    if not os.path.exists(mf):
+        pytest.skip("pretrained blobs not present")
+
+    cam = {"H": 60, "W": 80, "fx": 60.0, "fy": 60.0, "cx": 39.5, "cy": 29.5,
+           "png_depth_scale": 1.0, "crop_edge": 0}
+    cfg = {
+        "dataset": "synthetic", "scale": 1, "coarse": False, "occupancy": True,
+        "grid_len": {"coarse": 2, "middle": 0.32, "fine": 0.16,
+                     "color": 0.16, "bound_divisible": 0.32},
+        "model": {"c_dim": 32, "coarse_bound_enlarge": 2,
+                  "pos_embedding_method": "fourier"},
+        "data": {"dim": 3, "n_frames": 2},
+        "cam": cam,
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3,
+            "pixels": 500, "iters": 30, "iters_first": 30, "every_frame": 1,
+            "keyframe_every": 1, "mapping_window_size": 2,
+            "middle_iter_ratio": 0.4, "fine_iter_ratio": 0.6,
+            "w_color_loss": 0.2, "BA": False, "BA_cam_lr": 0.001,
+            "fix_fine": True, "fix_color": False,
+            "frustum_feature_selection": False,
+            "keyframe_selection_method": "global",
+            "lr_first_factor": 5, "lr_factor": 1, "color_refine": False,
+            "stage": {
+                s: {"decoders_lr": 0.001, "coarse_lr": 0.001,
+                    "middle_lr": 0.1 if s == "middle" else 0.005,
+                    "fine_lr": 0.005, "color_lr": 0.005}
+                for s in ("coarse", "middle", "fine", "color")
+            },
+        },
+        "rendering": {"N_samples": 12, "N_surface": 6, "N_importance": 0,
+                      "lindisp": False, "perturb": 0.0},
+    }
+    spec, state_fresh = build_scene(cfg, nice=True, seed=0)
+    cfg_p = dict(cfg)
+    cfg_p["pretrained_decoders"] = {"middle_fine": mf}
+    state_pre = load_pretrain(cfg_p, spec, state_fresh, verbose=False)
+
+    ds = Synthetic(cfg)
+    _, color, depth, c2w = ds[0]
+    rcfg = RenderConfig.from_cfg(cfg)
+    mcfg = MapperConfig.from_cfg(cfg, cam, nice=True)
+
+    results = {}
+    for name, st in [("fresh", state_fresh), ("pretrained", state_pre)]:
+        mapper = Mapper(spec, mcfg, rcfg, seed=5)
+        store = KeyframeStore(4, cam["H"], cam["W"])
+        new_state, _, losses = mapper.optimize_map(
+            st, 30, 5.0, 0, color, depth, c2w, store, c2w, BA=False,
+        )
+        d, _, _ = render_img(
+            spec, new_state, jnp.asarray(c2w), cam["H"], cam["W"],
+            cam["fx"], cam["fy"], cam["cx"], cam["cy"], "color",
+            gt_depth=jnp.asarray(depth), rcfg=rcfg,
+        )
+        l1 = float(np.mean(np.abs(np.asarray(d) - depth)[depth > 0]))
+        results[name] = {"first_loss": float(losses[0]),
+                         "final_loss": float(losses[-1]), "depth_l1": l1}
+        assert np.isfinite(losses).all()
+
+    print("pretrain-vs-fresh first-frame:", results)
+    # priors must not make first-frame mapping materially worse
+    assert results["pretrained"]["depth_l1"] < max(
+        1.5 * results["fresh"]["depth_l1"], 0.35)
