@@ -35,8 +35,14 @@ import jax.numpy as jnp
 #   interpret       - the Pallas kernel in interpreter mode (CPU tests)
 # NICE_SLAM_TPU_SEGSUM=0 additionally disables the custom VJP entirely
 # (plain autodiff, debug only).
+# NICE_SLAM_TPU_DGRAD_BF16=0 keeps the block scatter's contribution
+# buffer in f32 (default 1: bf16 halves the scatter + fold HBM bytes —
+# the dominant mapping cost; grid gradients feed Adam, which normalizes
+# per-parameter scale, and the quality A/B on the synthetic orbit showed
+# no ATE/recon movement — see PERF.md).
 _SEGSUM_MODE = os.environ.get("NICE_SLAM_TPU_SEGSUM", "auto")
 _DGRAD_MODE = os.environ.get("NICE_SLAM_TPU_DGRAD", "block")
+_DGRAD_BF16 = os.environ.get("NICE_SLAM_TPU_DGRAD_BF16", "1") == "1"
 
 
 def _trilinear_corners(grid_shape, p_nor):
@@ -183,11 +189,19 @@ def _dgrid_block_scatter(grid_shape, dtype, i0, weights, g):
             for c in range(8)]
     maxoff = max(offs)
     base = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
-    contribs8 = jnp.concatenate([w[:, None] * g for w in weights], axis=1)
-    A = jnp.zeros((maxoff + V, 8 * C), dtype).at[base + maxoff].add(contribs8)
+    # the contribution buffer may be held in bf16: the scatter row-loop is
+    # partially byte-bound and the fold reads the whole (V, 8C) buffer, so
+    # halving the bytes halves the dominant mapping cost (the row sums see
+    # at most ~tens of collisions; bf16's 0.4% relative error is far below
+    # the gradient noise of 1000-ray minibatches)
+    buf_dtype = jnp.bfloat16 if (_DGRAD_BF16 and dtype == jnp.float32) else dtype
+    contribs8 = jnp.concatenate(
+        [w[:, None] * g for w in weights], axis=1).astype(buf_dtype)
+    A = jnp.zeros((maxoff + V, 8 * C), buf_dtype).at[base + maxoff].add(contribs8)
     out = jnp.zeros((V, C), dtype)
     for c, off in enumerate(offs):
-        out = out + jax.lax.dynamic_slice(A, (maxoff - off, c * C), (V, C))
+        out = out + jax.lax.dynamic_slice(
+            A, (maxoff - off, c * C), (V, C)).astype(dtype)
     return out.reshape(grid_shape)
 
 

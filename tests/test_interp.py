@@ -65,7 +65,8 @@ def test_grid_gradient_flows():
 
     dg = jax.grad(loss)(grid)
     # gradient mass is the trilinear weights: sums to 1 per channel
-    np.testing.assert_allclose(float(jnp.sum(dg)), 2.0, atol=1e-5)
+    # (atol covers the production bf16 contribution buffer, ~0.4% rel)
+    np.testing.assert_allclose(float(jnp.sum(dg)), 2.0, atol=1e-2)
     # and is concentrated on the 8 corners around the point
     assert int(jnp.sum(dg != 0)) <= 8 * 2
 
@@ -130,12 +131,15 @@ def test_explicit_vjp_segsum_path_matches_autodiff(monkeypatch):
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
 
 
-def test_block_scatter_vjp_matches_autodiff():
+def test_block_scatter_vjp_matches_autodiff(monkeypatch):
     """The default dgrid strategy (cell-base block scatter + shifted adds)
-    must be grad-exact vs autodiff, including clamped border points where
-    the virtual unclamped offsets rely on zero corner weights."""
+    must be grad-exact vs autodiff in its f32 mode, including clamped
+    border points where the virtual unclamped offsets rely on zero corner
+    weights.  (The production default keeps the contribution buffer in
+    bf16 — covered by the tolerance test below.)"""
     from nice_slam_tpu.ops import interp as interp_mod
 
+    monkeypatch.setattr(interp_mod, "_DGRAD_BF16", False)
     assert interp_mod._DGRAD_MODE == "block"
     grid = jax.random.normal(jax.random.PRNGKey(21), (6, 9, 7, 8))
     # heavy border coverage: points at/past all 6 faces plus interior
@@ -153,6 +157,33 @@ def test_block_scatter_vjp_matches_autodiff():
     g2 = jax.grad(lambda g, pp: jnp.sum(
         interp_mod._trilinear_impl(g, pp) * cot), argnums=(0, 1))(grid, p)
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
+
+
+def test_block_scatter_bf16_grad_within_tolerance():
+    """The production default keeps the scatter's contribution buffer in
+    bf16 (halves the dominant mapping HBM cost); the resulting grid
+    gradient must stay within bf16 rounding of the exact one, and the
+    POINT gradient (the tracker's pose path) must remain exactly f32."""
+    from nice_slam_tpu.ops import interp as interp_mod
+
+    assert interp_mod._DGRAD_BF16  # the default
+    grid = jax.random.normal(jax.random.PRNGKey(31), (8, 7, 6, 8))
+    p = jax.random.uniform(jax.random.PRNGKey(32), (300, 3), minval=-1.2,
+                           maxval=1.2)
+    cot = jax.random.normal(jax.random.PRNGKey(33), (300, 8))
+
+    g1 = jax.grad(lambda g, pp: jnp.sum(
+        interp_mod.trilinear_interp_explicit_vjp(g, pp) * cot),
+        argnums=(0, 1))(grid, p)
+    g2 = jax.grad(lambda g, pp: jnp.sum(
+        interp_mod._trilinear_impl(g, pp) * cot), argnums=(0, 1))(grid, p)
+    ref = np.asarray(g2[0])
+    # bf16 has an 8-bit mantissa: per-contribution relative error ~0.4%,
+    # a few collisions per cell -> stay within ~2% of the gradient scale
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(g1[0]), ref, atol=0.02 * scale)
+    # the dp branch never touches the bf16 buffer
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
 
 

@@ -118,12 +118,19 @@ def test_sharded_lattice_eval_matches_single_device():
     np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
-def test_sharded_map_call_matches_unsharded():
+def test_sharded_map_call_matches_unsharded(monkeypatch):
     """The FULL jitted optimize_map call with the ray batch sharded over 8
     devices must match the unsharded call numerically (scene replicated,
     gradient psum over the dp axis).  f32 reduction-order differences are
-    the only allowed divergence."""
+    the only allowed divergence — so pin the f32 grid-gradient buffer
+    (the production bf16 buffer adds rounding that varies with the
+    sharded accumulation order; its tolerance is covered in
+    test_interp.test_block_scatter_bf16_grad_within_tolerance)."""
     import jax.numpy as jnp
+
+    from nice_slam_tpu.ops import interp as interp_mod
+
+    monkeypatch.setattr(interp_mod, "_DGRAD_BF16", False)
 
     from nice_slam_tpu.slam.mapper import MapperConfig, optimize_map_jit
     from nice_slam_tpu.parallel.sharding import make_mesh
