@@ -466,6 +466,18 @@ def optimize_map_jit(
 
     Returns (new_state, new_cam_tensors, losses (num_iters,), adam_carry).
     """
+    if grid_masks is None and spec.nice and mcfg.frustum_feature_selection:
+        # frustum gradient masks computed IN the jit (from the current
+        # frame's pose/depth, already passed as the window's last entry) —
+        # keeps the whole mapping call one dispatch instead of one per grid
+        grid_masks = {
+            name: frustum_mask(
+                fixed_c2w[-1], depths[-1], state.bound, shape,
+                mcfg.H, mcfg.W, mcfg.fx, mcfg.fy, mcfg.cx, mcfg.cy,
+            )
+            for name, shape in dict(spec.grid_shapes).items()
+            if name != "grid_coarse"
+        }
     groups = _opt_param_groups(spec, state, mcfg, cam_tensors, BA)
     if adam_in is None:
         adam = init_group_adam(groups)
@@ -672,17 +684,12 @@ class Mapper:
                 opt_mask[oldest_slot] = 0.0
         opt_mask_j = jnp.asarray(opt_mask)
 
+        # frustum gradient masks (reference get_mask_from_c2w, :113-115:
+        # grid_coarse gets an all-ones mask == no mask) are computed inside
+        # optimize_map_jit when grid_masks is None and
+        # mcfg.frustum_feature_selection is set — one dispatch per mapping
+        # call instead of one per grid
         grid_masks = None
-        if self.spec.nice and self.frustum_feature_selection:
-            grid_masks = {}
-            shapes = dict(self.spec.grid_shapes)
-            for name, shape in shapes.items():
-                if name == "grid_coarse":
-                    continue  # all-ones mask (reference :113-115) == no mask
-                grid_masks[name] = frustum_mask(
-                    cur_c2w_j, cur_depth, state.bound, shape,
-                    mcfg.H, mcfg.W, mcfg.fx, mcfg.fy, mcfg.cx, mcfg.cy,
-                )
 
         if self.save_selected_keyframes_info:
             infos = []
