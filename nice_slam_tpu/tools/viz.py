@@ -141,3 +141,125 @@ class SLAMFrontend:
             vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
         vw.release()
         return path
+
+
+def _frustum_lineset(o3d, c2w: np.ndarray, scale: float, color):
+    """Camera frustum wireframe at ``c2w`` (SLAM convention, -z forward)."""
+    pts = np.array([
+        [0.0, 0.0, 0.0],
+        [0.5, 0.3, -1.0], [0.5, -0.3, -1.0],
+        [-0.5, -0.3, -1.0], [-0.5, 0.3, -1.0],
+    ]) * scale
+    pts = pts @ c2w[:3, :3].T + c2w[:3, 3]
+    lines = [[0, 1], [0, 2], [0, 3], [0, 4], [1, 2], [2, 3], [3, 4], [4, 1]]
+    ls = o3d.geometry.LineSet(
+        points=o3d.utility.Vector3dVector(pts),
+        lines=o3d.utility.Vector2iVector(lines),
+    )
+    ls.paint_uniform_color(color)
+    return ls
+
+
+class O3DFrontend:
+    """Live Open3D viewer window (capability parity with the reference's
+    interactive viewer, src/tools/viz.py:45-209): streams reconstructed
+    meshes as they appear, draws the estimated (blue) and ground-truth
+    (green) trajectories and the current camera frustum, and optionally
+    dumps the rendered frames for a video.
+
+    Lazy-optional: constructed only when ``open3d`` imports (absent from
+    this environment's image — the offline ``SLAMFrontend`` is the
+    default); same update_mesh/update_pose/finalize_video interface.
+    """
+
+    def __init__(self, output: str, init_pose, cam_scale=0.3,
+                 save_rendering=False, near=0,
+                 estimate_c2w_list=None, gt_c2w_list=None):
+        import open3d as o3d  # raises ImportError when unavailable
+
+        self._o3d = o3d
+        self.output = output
+        self.cam_scale = cam_scale
+        self.save_rendering = save_rendering
+        self.estimate_c2w_list = estimate_c2w_list
+        self.gt_c2w_list = gt_c2w_list
+        self.frames: List[np.ndarray] = []
+        self.renderer = None  # parity with SLAMFrontend's "mesh attached" flag
+        self._mesh_geom = None
+        self._frustum = None
+        self._traj_pts: List[np.ndarray] = []
+        self.vis = o3d.visualization.Visualizer()
+        self.vis.create_window(window_name="nice_slam_tpu", width=1280,
+                               height=720)
+        if save_rendering:
+            os.makedirs(os.path.join(output, "tmp_rendering"), exist_ok=True)
+
+    def update_mesh(self, mesh_path: str) -> None:
+        o3d = self._o3d
+        mesh = o3d.io.read_triangle_mesh(mesh_path)
+        mesh.compute_vertex_normals()
+        if self._mesh_geom is not None:
+            self.vis.remove_geometry(self._mesh_geom, False)
+        self._mesh_geom = mesh
+        self.vis.add_geometry(mesh, self._frustum is None)
+        self.renderer = mesh
+
+    def update_pose(self, idx: int, c2w: np.ndarray) -> Optional[np.ndarray]:
+        o3d = self._o3d
+        if self._frustum is not None:
+            self.vis.remove_geometry(self._frustum, False)
+        self._frustum = _frustum_lineset(o3d, c2w, self.cam_scale, [1, 0, 0])
+        self.vis.add_geometry(self._frustum, False)
+        self._traj_pts.append(np.asarray(c2w[:3, 3], np.float64))
+        if len(self._traj_pts) >= 2:
+            seg = o3d.geometry.LineSet(
+                points=o3d.utility.Vector3dVector(self._traj_pts[-2:]),
+                lines=o3d.utility.Vector2iVector([[0, 1]]),
+            )
+            seg.paint_uniform_color([0, 0, 1])
+            self.vis.add_geometry(seg, False)
+        if (self.gt_c2w_list is not None and idx >= 1
+                and idx < len(self.gt_c2w_list)):
+            seg = o3d.geometry.LineSet(
+                points=o3d.utility.Vector3dVector(
+                    np.asarray(self.gt_c2w_list[idx - 1:idx + 1, :3, 3],
+                               np.float64)),
+                lines=o3d.utility.Vector2iVector([[0, 1]]),
+            )
+            seg.paint_uniform_color([0, 1, 0])
+            self.vis.add_geometry(seg, False)
+        self.vis.poll_events()
+        self.vis.update_renderer()
+        img = None
+        if self.save_rendering:
+            buf = self.vis.capture_screen_float_buffer(do_render=True)
+            img = (np.asarray(buf) * 255).astype(np.uint8)
+            self.frames.append(img)
+        return img
+
+    def finalize_video(self, path: str, fps: int = 30) -> Optional[str]:
+        self.vis.destroy_window()
+        if not self.frames:
+            return None
+        import cv2
+
+        H, W = self.frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                             (W, H))
+        for f in self.frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+        return path
+
+
+def make_frontend(*args, online: Optional[bool] = None, **kwargs):
+    """Frontend factory: the live Open3D window when the library is
+    importable (or ``online=True`` forces the attempt), else the offline
+    raycast replay.  ``online=False`` forces offline."""
+    if online is not False:
+        try:
+            return O3DFrontend(*args, **kwargs)
+        except ImportError:
+            if online:  # explicitly requested but unavailable
+                raise
+    return SLAMFrontend(*args, **kwargs)

@@ -80,3 +80,29 @@ def test_per_iteration_vis_panels(tmp_path):
     for it in (0, 10, 20):
         p = os.path.join(slam.output, "mapping_vis", f"00005_{it:04d}.jpg")
         assert os.path.exists(p), f"missing mapping panel {p}"
+
+
+def test_frontend_factory_fallback(tmp_path):
+    """make_frontend returns the live Open3D window when the library is
+    importable, else the offline raycast replay; online=True must raise
+    where open3d is absent instead of silently degrading."""
+    import pytest
+
+    from nice_slam_tpu.tools.viz import SLAMFrontend, make_frontend
+
+    fe = make_frontend(str(tmp_path), init_pose=np.eye(4))
+    try:
+        import open3d  # noqa: F401
+
+        from nice_slam_tpu.tools.viz import O3DFrontend
+
+        assert isinstance(fe, O3DFrontend)
+    except ImportError:
+        assert isinstance(fe, SLAMFrontend)
+        with pytest.raises(ImportError):
+            make_frontend(str(tmp_path), init_pose=np.eye(4), online=True)
+    # offline can always be forced
+    assert isinstance(
+        make_frontend(str(tmp_path), init_pose=np.eye(4), online=False),
+        SLAMFrontend,
+    )

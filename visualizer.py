@@ -27,6 +27,10 @@ def main() -> None:
     parser.add_argument("--save_rendering", action="store_true")
     parser.add_argument("--vis_input_frame", action="store_true")
     parser.add_argument("--no_gt_traj", action="store_true")
+    parser.add_argument(
+        "--online", action="store_true",
+        help="force the live Open3D window (default: auto — live when "
+             "open3d is importable, offline raycast replay otherwise)")
     group = parser.add_mutually_exclusive_group()
     group.add_argument("--nice", dest="nice", action="store_true")
     group.add_argument("--imap", dest="nice", action="store_false")
@@ -36,7 +40,7 @@ def main() -> None:
     import torch
 
     from nice_slam_tpu.config import load_config
-    from nice_slam_tpu.tools.viz import SLAMFrontend
+    from nice_slam_tpu.tools.viz import make_frontend
 
     cfg = load_config(
         args.config,
@@ -58,9 +62,11 @@ def main() -> None:
     estimate_c2w_list[:, :3, 3] /= scale
     gt_c2w_list[:, :3, 3] /= scale
 
-    frontend = SLAMFrontend(
+    frontend = make_frontend(
         output, init_pose=estimate_c2w_list[0], save_rendering=args.save_rendering,
-        estimate_c2w_list=estimate_c2w_list, gt_c2w_list=gt_c2w_list,
+        estimate_c2w_list=estimate_c2w_list,
+        gt_c2w_list=None if args.no_gt_traj else gt_c2w_list,
+        online=True if args.online else None,
     )
 
     frame_reader = None
