@@ -21,8 +21,12 @@ with the corresponding weight rows packed to match, so each block is one
 XLA (random HBM gathers are not a Pallas-TPU strength); the kernel fuses
 everything after it.
 
-Used on no-grad paths (meshing, full-frame rendering, visualization);
-training keeps the XLA autodiff path.
+STATUS: retired experiment (kept as a reference Pallas kernel, still
+tested in interpret mode).  On the TPU it measured at PARITY with the
+plain XLA path — XLA already fuses the embed->MLP chain and the
+HBM-roundtrip theory did not hold; the chain is latency/lane-occupancy
+bound, not bandwidth bound (PERF.md).  Nothing on the production path
+dispatches it.
 
 Numerics note: exact parity with the XLA path is impossible by
 construction — the Gaussian-Fourier embedding evaluates sin at O(100) rad

@@ -55,6 +55,19 @@ def main() -> None:
     parser.add_argument("--resolution", type=int, default=128)
     parser.add_argument("--iters", type=int, default=60)
     parser.add_argument("--iters_first", type=int, default=400)
+    parser.add_argument(
+        "--orbit_radians", type=float, default=None,
+        help="total orbit sweep; default = 0.25 rad/30 frames scaled to "
+             "--frames (Replica-like per-frame motion).  A full tour "
+             "(--frames 150 gives ~2 rad) shrinks the unobserved region "
+             "and with it the frustum-boundary shells that dominate the "
+             "accuracy metric on short sweeps.")
+    parser.add_argument(
+        "--gt_camera", action="store_true",
+        help="map from ground-truth poses (no tracking): isolates "
+             "reconstruction quality from tracking drift, e.g. for a "
+             "full-coverage tour faster than the tracker's per-frame "
+             "budget.")
     args = parser.parse_args()
 
     import jax
@@ -78,13 +91,21 @@ def main() -> None:
     cfg["data"]["n_frames"] = args.frames
     # per-frame motion comparable to Replica @ 30 fps (the tracker's 10
     # Adam iterations budget ~1 cm/frame of correction)
-    cfg["data"]["orbit_radians"] = 0.25
+    orbit = (args.orbit_radians if args.orbit_radians is not None
+             else 0.25 * args.frames / 30.0)
+    cfg["data"]["orbit_radians"] = orbit
     cfg["data"]["output"] = args.out
     cfg["mapping"]["iters"] = args.iters
     cfg["mapping"]["iters_first"] = args.iters_first
     cfg["mapping"]["mesh_freq"] = 10 ** 6  # final mesh only
     cfg["mapping"]["ckpt_freq"] = 10 ** 6
     cfg["meshing"]["resolution"] = args.resolution
+    # reference eval protocol: score final_mesh_eval_rec.ply, the variant
+    # whose unseen regions are culled using ALL frames
+    # (/root/reference/README.md:221, src/Mapper.py:649-650)
+    cfg["meshing"]["eval_rec"] = True
+    if args.gt_camera:
+        cfg["tracking"]["gt_camera"] = True
 
     ns = argparse.Namespace(nice=True, input_folder=None, output=None)
     slam = NiceSLAM(cfg, ns)
@@ -101,11 +122,14 @@ def main() -> None:
         np.asarray(room), os.path.join(args.out, "gt_room.ply"),
         [slam.gt_c2w_list[i] for i in range(n)], slam.cam,
     )
-    rec_mesh = os.path.join(args.out, "mesh", "final_mesh.ply")
+    rec_mesh = os.path.join(args.out, "mesh", "final_mesh_eval_rec.ply")
+    if not os.path.exists(rec_mesh):
+        rec_mesh = os.path.join(args.out, "mesh", "final_mesh.ply")
     metrics = calc_3d_metric(rec_mesh, gt_mesh, align=True)
 
     summary = {
         "frames": n,
+        "orbit_radians": round(orbit, 3),
         "ate_rmse_cm": round(ate_rmse * 100, 3),
         "accuracy_cm": round(metrics["accuracy_cm"], 3),
         "completion_cm": round(metrics["completion_cm"], 3),

@@ -42,11 +42,12 @@ from nice_slam_tpu.utils import meshlib
 
 import os
 
-_USE_FUSED = os.environ.get("NICE_SLAM_TPU_FUSED", "0") == "1"
-
 
 @partial(jax.jit, static_argnames=("spec", "stage", "mesh"))
 def _eval_chunk(spec, state, pts, stage, mesh=None):
+    # The Pallas fused decoder kernel (ops/fused.py) was measured at parity
+    # with this plain-XLA path on the TPU (XLA already keeps the MLP chain
+    # fused; PERF.md) and is retired from the production path.
     if mesh is not None and pts.shape[0] % mesh.size == 0:
         # multi-chip: shard the lattice points over the dp axis (scene
         # replicated) — the largest single query volume in the system
@@ -55,10 +56,6 @@ def _eval_chunk(spec, state, pts, stage, mesh=None):
 
         pts = jax.lax.with_sharding_constraint(
             pts, NamedSharding(mesh, P("dp", None)))
-    if _USE_FUSED:
-        from nice_slam_tpu.ops.fused import fused_eval_points
-
-        return fused_eval_points(spec, state, pts, stage)
     return eval_points(spec, state, pts, stage)
 
 
@@ -142,7 +139,12 @@ def _frame_masks(
             depth_sample - 2.4 < proj_depth
         )
     else:
-        max_depth = jnp.max(depth_img) * 1.1
+        # the all-frames variant (get_mask_use_all_frames) passes a zero
+        # depth image and expects NO depth bound (reference :88-125 skips
+        # the depth test entirely there) — an all-zero image must not
+        # collapse the bound to 0 and mark everything unseen
+        md = jnp.max(depth_img)
+        max_depth = jnp.where(md > 0, md * 1.1, jnp.inf)
         forecast = forecast & (proj_depth < max_depth)
         seen = seen & (proj_depth < max_depth)
     return seen, forecast
