@@ -249,6 +249,7 @@ def apply_mlp(
     p: jnp.ndarray,
     grids: Optional[Dict[str, jnp.ndarray]],
     bound: Optional[jnp.ndarray],
+    sample_fn=sample_grid_feature,
 ) -> jnp.ndarray:
     """Run one grid-conditioned decoder on (N, 3) world points.
 
@@ -258,12 +259,12 @@ def apply_mlp(
     """
     feat = None
     if spec.c_dim != 0:
-        feat = sample_grid_feature(grids["grid_" + spec.name], p, bound)
+        feat = sample_fn(grids["grid_" + spec.name], p, bound)
         if spec.concat_feature:
             # fine decoder: concat the middle-level feature, gradient-stopped
             # (reference decoder.py:182-187 uses torch.no_grad()).
             feat_mid = jax.lax.stop_gradient(
-                sample_grid_feature(grids["grid_middle"], p, bound)
+                sample_fn(grids["grid_middle"], p, bound)
             )
             feat = jnp.concatenate([feat, feat_mid], axis=-1)
 
@@ -287,13 +288,14 @@ def apply_mlp_no_xyz(
     p: jnp.ndarray,
     grids: Dict[str, jnp.ndarray],
     bound: jnp.ndarray,
+    sample_fn=sample_grid_feature,
 ) -> jnp.ndarray:
     """Coarse decoder: the grid feature IS the input (no point embedding).
 
     Mirrors reference decoder.py:262-274.  ``bound`` here is the enlarged
     coarse bound (reference src/NICE_SLAM.py:157).
     """
-    feat = sample_grid_feature(grids["grid_" + spec.name], p, bound)
+    feat = sample_fn(grids["grid_" + spec.name], p, bound)
     h = feat
     for i, layer in enumerate(params["pts_linears"]):
         h = jax.nn.relu(_dense(layer, h))
@@ -358,6 +360,7 @@ def apply_nice_stage_batched(
     grids: Dict[str, jnp.ndarray],
     bound: jnp.ndarray,
     stage: str,
+    sample_fn=sample_grid_feature,
 ) -> jnp.ndarray:
     """Batched fine/color stage forward — same outputs as apply_nice up to
     f32 summation-order noise (the Fourier embedding amplifies ulp-level
@@ -373,14 +376,14 @@ def apply_nice_stage_batched(
     fw = 2 * spec.c_dim  # widest feature (fine concat)
 
     # features per decoder, padded to fw
-    mid_feat = sample_grid_feature(grids["grid_middle"], p, bound)
+    mid_feat = sample_fn(grids["grid_middle"], p, bound)
     fine_feat = jnp.concatenate(
-        [sample_grid_feature(grids["grid_fine"], p, bound),
+        [sample_fn(grids["grid_fine"], p, bound),
          jax.lax.stop_gradient(mid_feat)], axis=-1,
     )
     feats = [jnp.pad(mid_feat, ((0, 0), (0, fw - spec.c_dim))), fine_feat]
     if stage == "color":
-        color_feat = sample_grid_feature(grids["grid_color"], p, bound)
+        color_feat = sample_fn(grids["grid_color"], p, bound)
         feats.append(jnp.pad(color_feat, ((0, 0), (0, fw - spec.c_dim))))
     feat = jnp.stack(feats)  # (D, N, fw)
 
@@ -444,6 +447,7 @@ def apply_nice(
     bound: jnp.ndarray,
     coarse_bound: jnp.ndarray,
     stage: str,
+    sample_fn=sample_grid_feature,
 ) -> jnp.ndarray:
     """Stage-dispatched forward of the NICE decoder stack -> (N, 4) raw.
 
@@ -459,20 +463,27 @@ def apply_nice(
     subs = spec.sub_specs()
     n = p.shape[0]
     if stage == "coarse":
-        occ = apply_mlp_no_xyz(params["coarse"], subs["coarse"], p, grids, coarse_bound)
+        occ = apply_mlp_no_xyz(params["coarse"], subs["coarse"], p, grids,
+                               coarse_bound, sample_fn)
         return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
     if stage == "middle":
-        occ = apply_mlp(params["middle"], subs["middle"], p, grids, bound)
+        occ = apply_mlp(params["middle"], subs["middle"], p, grids, bound,
+                        sample_fn)
         return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
     if stage == "fine":
-        fine_occ = apply_mlp(params["fine"], subs["fine"], p, grids, bound)
-        middle_occ = apply_mlp(params["middle"], subs["middle"], p, grids, bound)
+        fine_occ = apply_mlp(params["fine"], subs["fine"], p, grids, bound,
+                             sample_fn)
+        middle_occ = apply_mlp(params["middle"], subs["middle"], p, grids,
+                               bound, sample_fn)
         occ = fine_occ + middle_occ
         return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
     if stage == "color":
-        raw = apply_mlp(params["color"], subs["color"], p, grids, bound)
-        fine_occ = apply_mlp(params["fine"], subs["fine"], p, grids, bound)
-        middle_occ = apply_mlp(params["middle"], subs["middle"], p, grids, bound)
+        raw = apply_mlp(params["color"], subs["color"], p, grids, bound,
+                        sample_fn)
+        fine_occ = apply_mlp(params["fine"], subs["fine"], p, grids, bound,
+                             sample_fn)
+        middle_occ = apply_mlp(params["middle"], subs["middle"], p, grids,
+                               bound, sample_fn)
         occ = fine_occ + middle_occ
         return jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
     raise ValueError(f"unknown stage {stage}")

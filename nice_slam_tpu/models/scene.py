@@ -107,6 +107,7 @@ def eval_points(
     p: jnp.ndarray,
     stage: str = "color",
     batched: bool = True,
+    sample_fn=None,
 ) -> jnp.ndarray:
     """Decode (N, 3) world points -> (N, 4) raw rgb+occ.
 
@@ -117,18 +118,26 @@ def eval_points(
     ``batched=True`` evaluates the fine/color stages' 2-3 decoder stacks as
     one batched matmul chain (~2.8x faster on TPU; identical math up to f32
     scheduling noise — see decoders.apply_nice_stage_batched).
+
+    ``sample_fn(grid, p_world, bound)`` overrides the grid feature lookup —
+    used by parallel.grid_sharding to answer lookups from a spatially
+    sharded grid store.
     """
+    if sample_fn is None:
+        from nice_slam_tpu.ops.interp import sample_grid_feature
+
+        sample_fn = sample_grid_feature
     if spec.nice:
         if (batched and stage in ("fine", "color")
                 and spec.decoder.pos_embedding_method == "fourier"):
             raw = D.apply_nice_stage_batched(
                 state.decoders, spec.decoder, p, state.grids, state.bound,
-                stage,
+                stage, sample_fn,
             )
         else:
             raw = D.apply_nice(
                 state.decoders, spec.decoder, p, state.grids,
-                state.bound, state.coarse_bound, stage,
+                state.bound, state.coarse_bound, stage, sample_fn,
             )
     else:
         raw = D.apply_imap(state.decoders, spec.decoder, p)
