@@ -725,10 +725,15 @@ class Mapper:
                 self._next_key(), adam_carry, mcfg, self.rcfg, cplan, BA,
                 pixs_per_image, self.mesh,
             )
-            chunk_losses.append(np.asarray(losses))
+            # losses stay ON DEVICE: converting here would block the host on
+            # the whole mapping call, serializing the coarse-mapper dispatch
+            # (and the next frame's tracking) behind it.  Callers that print
+            # losses pay the sync themselves.
+            chunk_losses.append(losses)
             g += sum(n for _, n in cplan)
         new_state, new_cams = cur_state, cur_cams
-        losses = np.concatenate(chunk_losses)
+        losses = (jnp.concatenate(chunk_losses) if len(chunk_losses) > 1
+                  else chunk_losses[0])
 
         cur_out = None
         if BA:
@@ -740,7 +745,7 @@ class Mapper:
                 c2w = _tensor_to_c2w44(cams_np[slot])
                 keyframes.set_est_c2w(pos, c2w)
             cur_out = _tensor_to_c2w44(cams_np[-1])
-        return new_state, cur_out, np.asarray(losses)
+        return new_state, cur_out, losses
 
 
 def _tensor_to_c2w44(tensor: np.ndarray) -> np.ndarray:
