@@ -42,9 +42,21 @@ def gt_room_mesh(room: np.ndarray, path: str, poses, cam,
     verts, tris = marching_cubes(field, 0.0,
                                  origin=(axes[0][0], axes[1][0], axes[2][0]),
                                  spacing=spacing)
+    all_tris = tris
     tris = cull_mesh(verts, tris, poses, cam["H"], cam["W"], cam["fx"],
                      cam["fy"], cam["cx"], cam["cy"])
     write_ply(path, verts, tris)
+    # unseen-region point cloud (vertices only in culled faces) — the
+    # companion the reference ships next to each culled GT mesh for
+    # depth-L1's unseen-view rejection (eval_recon '*_pc_unseen.npy')
+    kept = np.zeros(len(verts), bool)
+    if len(tris):
+        kept[np.unique(tris)] = True
+    in_any = np.zeros(len(verts), bool)
+    if len(all_tris):
+        in_any[np.unique(all_tris)] = True
+    np.save(path.replace(".ply", "_pc_unseen.npy"),
+            verts[in_any & ~kept].astype(np.float32))
     return path
 
 
@@ -62,6 +74,10 @@ def main() -> None:
              "(--frames 150 gives ~2 rad) shrinks the unobserved region "
              "and with it the frustum-boundary shells that dominate the "
              "accuracy metric on short sweeps.")
+    parser.add_argument(
+        "--depth_l1_imgs", type=int, default=200,
+        help="random interior views for the 2D depth-L1 metric "
+             "(reference protocol uses 1000; 200 keeps selfcheck fast)")
     parser.add_argument(
         "--gt_camera", action="store_true",
         help="map from ground-truth poses (no tracking): isolates "
@@ -126,6 +142,10 @@ def main() -> None:
     if not os.path.exists(rec_mesh):
         rec_mesh = os.path.join(args.out, "mesh", "final_mesh.ply")
     metrics = calc_3d_metric(rec_mesh, gt_mesh, align=True)
+    from nice_slam_tpu.tools.eval_recon import calc_2d_metric
+
+    depth_l1 = calc_2d_metric(rec_mesh, gt_mesh, align=True,
+                              n_imgs=args.depth_l1_imgs, seed=0)
 
     summary = {
         "frames": n,
@@ -134,6 +154,7 @@ def main() -> None:
         "accuracy_cm": round(metrics["accuracy_cm"], 3),
         "completion_cm": round(metrics["completion_cm"], 3),
         "completion_ratio_pct": round(metrics["completion_ratio_pct"], 2),
+        "depth_l1_cm": round(depth_l1["depth_l1_cm"], 3),
         "timings": slam.timings,
     }
     print(json.dumps(summary))
