@@ -159,6 +159,36 @@ def sharded_eval_points(
     )
 
 
+def unshard_grid_grad(
+    slab_grads: jnp.ndarray, shape: Tuple[int, int, int, int], planes: int
+) -> jnp.ndarray:
+    """Reassemble a dense (nx, ny, nz, C) gradient from per-slab gradients.
+
+    The sharded store is differentiable (autodiff through ``shard_map``
+    yields per-slab cotangents, sharded like the slabs); global x-plane
+    ``d*planes`` is stored both as slab ``d``'s base plane and slab
+    ``d-1``'s halo, so duplicated planes ACCUMULATE (each held a disjoint
+    subset of the corner contributions).  Edge-padding planes past
+    ``nx - 1`` are never read with nonzero weight -> their cotangents are
+    identically zero and fold harmlessly onto the clamped edge.
+    """
+    D = slab_grads.shape[0]
+    nx, ny, nz, C = shape
+    padded = jnp.zeros((planes * D + 1, ny, nz, C), slab_grads.dtype)
+    for d in range(D):
+        padded = jax.lax.dynamic_update_slice_in_dim(
+            padded,
+            jax.lax.dynamic_slice_in_dim(padded, d * planes, planes + 1, 0)
+            + slab_grads[d],
+            d * planes, axis=0,
+        )
+    dense = padded[:nx]
+    # fold the (zero) pad-plane cotangents onto the edge plane
+    if planes * D + 1 > nx:
+        dense = dense.at[nx - 1].add(jnp.sum(padded[nx:], axis=0))
+    return dense
+
+
 def per_device_bytes(sharded_grids: Dict[str, ShardedGrid]) -> int:
     """Feature bytes RESIDENT per device (the memory-scaling claim)."""
     total = 0

@@ -92,3 +92,38 @@ def test_sharded_store_memory_scales_down():
     assert per_dev <= dense_bytes // 8 + 32 * 32 * 16 * 4
     # and the slab array really is sharded over the mesh
     assert len(sharded.slabs.sharding.device_set) == 8
+
+
+@needs8
+def test_sharded_store_is_differentiable():
+    """Autodiff through the sharded lookup: per-slab cotangents reassembled
+    by unshard_grid_grad must equal the dense trilinear grid gradient —
+    the enabling property for mapping (training) on a sharded scene."""
+    from nice_slam_tpu.ops import interp as interp_mod
+    from nice_slam_tpu.parallel.grid_sharding import (
+        ShardedGrid,
+        shard_grid,
+        sharded_trilinear_interp,
+        unshard_grid_grad,
+    )
+
+    mesh = _mesh()
+    grid = jax.random.normal(jax.random.PRNGKey(4), (21, 6, 5, 8))
+    sharded = shard_grid(grid, mesh)
+    p = jax.random.uniform(jax.random.PRNGKey(5), (128, 3), minval=-1.3,
+                           maxval=1.3)
+    cot = jax.random.normal(jax.random.PRNGKey(6), (128, 8))
+
+    def sharded_loss(slabs):
+        s = ShardedGrid(slabs=slabs, shape=sharded.shape,
+                        planes=sharded.planes)
+        return jnp.sum(sharded_trilinear_interp(s, p, mesh) * cot)
+
+    slab_grads = jax.grad(sharded_loss)(sharded.slabs)
+    dense_from_slabs = unshard_grid_grad(slab_grads, sharded.shape,
+                                         sharded.planes)
+
+    dense_grad = jax.grad(lambda g: jnp.sum(
+        interp_mod._trilinear_impl(g, p) * cot))(grid)
+    np.testing.assert_allclose(np.asarray(dense_from_slabs),
+                               np.asarray(dense_grad), atol=1e-5)
