@@ -94,8 +94,12 @@ def render_batch_ray(
     gt_depth: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
     rcfg: RenderConfig = RenderConfig(),
+    sample_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render depth / uncertainty / color for a fixed-size ray batch.
+
+    ``sample_fn`` overrides the grid feature lookup (see
+    models.scene.eval_points) — e.g. the spatially sharded grid store.
 
     Args:
         rays_o, rays_d: (N, 3).
@@ -150,7 +154,8 @@ def render_batch_ray(
 
     def _eval(z):
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-        raw = eval_points(spec, state, pts.reshape(-1, 3), stage)
+        raw = eval_points(spec, state, pts.reshape(-1, 3), stage,
+                          sample_fn=sample_fn)
         return raw.reshape(z.shape[0], z.shape[1], 4)
 
     raw = _eval(z_vals)

@@ -47,14 +47,31 @@ from nice_slam_tpu.ops.interp import _corner_weights, _trilinear_corners
 AXIS = "dp"  # reuse the data-parallel mesh axis (parallel/sharding.make_mesh)
 
 
-class ShardedGrid(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class ShardedGrid:
     """One grid as x-slabs: ``slabs[d]`` holds global x-planes
     ``[d*planes, d*planes + planes]`` (inclusive halo), edge-padded past
-    ``nx - 1``.  ``slabs`` is placed with axis 0 sharded over the mesh."""
+    ``nx - 1``.  ``slabs`` is placed with axis 0 sharded over the mesh.
 
-    slabs: jnp.ndarray           # (D, planes + 1, ny, nz, C)
-    shape: Tuple[int, int, int, int]  # the original (nx, ny, nz, C)
-    planes: int                  # owned x-planes per device
+    Registered as a pytree with ``shape``/``planes`` as STATIC aux data, so
+    a ShardedGrid can ride through jit/grad/scan while the corner index
+    math stays static-shaped."""
+
+    def __init__(self, slabs: jnp.ndarray,
+                 shape: Tuple[int, int, int, int], planes: int):
+        self.slabs = slabs            # (D, planes + 1, ny, nz, C)
+        self.shape = tuple(shape)     # the original (nx, ny, nz, C)
+        self.planes = int(planes)     # owned x-planes per device
+
+    def tree_flatten(self):
+        return (self.slabs,), (self.shape, self.planes)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    def _replace(self, slabs):
+        return ShardedGrid(slabs, self.shape, self.planes)
 
 
 def shard_grid(grid: jnp.ndarray, mesh: Mesh) -> ShardedGrid:
@@ -187,6 +204,92 @@ def unshard_grid_grad(
     if planes * D + 1 > nx:
         dense = dense.at[nx - 1].add(jnp.sum(padded[nx:], axis=0))
     return dense
+
+
+def fold_halo_grads(slab_grads: jnp.ndarray) -> jnp.ndarray:
+    """Make both stored copies of each shared x-plane see its TOTAL gradient.
+
+    Global plane ``d*planes`` exists as slab ``d``'s base plane 0 and slab
+    ``d-1``'s halo; each copy accumulates only its own points' corner
+    contributions.  Summing the two partials into BOTH copies keeps the
+    duplicated planes bitwise-consistent under any elementwise optimizer
+    (identical grads + identical moments -> identical updates), so no
+    post-update halo refresh is ever needed.  On a sharded (D, ...) array
+    the cross-slab slices lower to one collective-permute each over ICI.
+    """
+    total = slab_grads[1:, 0] + slab_grads[:-1, -1]
+    slab_grads = slab_grads.at[1:, 0].set(total)
+    return slab_grads.at[:-1, -1].set(total)
+
+
+def make_grid_sharded_map_step(mesh: Mesh, spec, stage: str, rcfg,
+                               w_color: float = 0.2, lr: float = 0.01):
+    """Full mapping train step on a SPATIALLY SHARDED scene.
+
+    Each device holds 1/D of every feature grid; the forward answers every
+    grid lookup from the sharded store (one psum per lookup), the backward
+    produces per-slab gradients, a halo fold (two collective-permutes per
+    grid) totals the shared planes, and per-slab Adam updates everything
+    locally.  Grid memory per device is 1/D of the scene — the scaling
+    axis the reference lacks entirely (SURVEY §2.2).
+
+    Returns (step, shard_grids, init_adam):
+        step(sharded_grids, state, adam, rays_o, rays_d, gt_d, gt_c)
+            -> (new_sharded_grids, new_adam, loss)   [jitted]
+        shard_grids(dense_grids) -> {name: ShardedGrid}
+        init_adam(sharded_grids) -> adam state
+    """
+    import functools as _ft
+
+    from nice_slam_tpu.ops.render import render_batch_ray
+    from nice_slam_tpu.slam.optim import group_adam_update, init_group_adam
+
+    def shard_grids(grids: Dict[str, jnp.ndarray]) -> Dict[str, ShardedGrid]:
+        return shard_scene_grids(grids, mesh)
+
+    def init_adam(sharded_grids):
+        return init_group_adam({"grids": {
+            k: sg.slabs for k, sg in sharded_grids.items()}})
+
+    @_ft.partial(jax.jit, static_argnames=())
+    def step(sharded_grids, state, adam, rays_o, rays_d, gt_d, gt_c):
+        sample_fn = lambda g, p, b: sharded_sample_grid_feature(g, p, b, mesh)
+
+        def loss_fn(slab_tree):
+            grids = {k: sharded_grids[k]._replace(slab_tree[k])
+                     for k in slab_tree}
+            depth, _, color = render_batch_ray(
+                spec, state._replace(grids=grids), rays_o, rays_d, stage,
+                gt_depth=gt_d, rcfg=rcfg, sample_fn=sample_fn,
+            )
+            mask = gt_d > 0
+            loss = jnp.sum(jnp.where(mask, jnp.abs(gt_d - depth), 0.0))
+            if stage == "color":
+                loss = loss + w_color * jnp.sum(jnp.abs(gt_c - color))
+            return loss
+
+        slab_tree = {k: sg.slabs for k, sg in sharded_grids.items()}
+        loss, grads = jax.value_and_grad(loss_fn)(slab_tree)
+        grads = {k: fold_halo_grads(g) for k, g in grads.items()}
+        new_p, new_adam = group_adam_update(
+            {"grids": slab_tree}, {"grids": grads}, adam,
+            {"grids": jnp.asarray(lr, jnp.float32)}, {"grids": True},
+        )
+        new_grids = {k: sharded_grids[k]._replace(new_p["grids"][k])
+                     for k in sharded_grids}
+        return new_grids, new_adam, loss
+
+    return step, shard_grids, init_adam
+
+
+def unshard_grid(sharded: ShardedGrid) -> jnp.ndarray:
+    """Dense (nx, ny, nz, C) grid from a consistent sharded store (base
+    planes concatenated + the last slab's halo plane, pad dropped)."""
+    D = sharded.slabs.shape[0]
+    nx = sharded.shape[0]
+    base = sharded.slabs[:, :-1].reshape((-1,) + sharded.slabs.shape[2:])
+    full = jnp.concatenate([base, sharded.slabs[-1:, -1]], axis=0)
+    return full[:nx]
 
 
 def per_device_bytes(sharded_grids: Dict[str, ShardedGrid]) -> int:

@@ -127,3 +127,81 @@ def test_sharded_store_is_differentiable():
         interp_mod._trilinear_impl(g, p) * cot))(grid)
     np.testing.assert_allclose(np.asarray(dense_from_slabs),
                                np.asarray(dense_grad), atol=1e-5)
+
+
+@needs8
+def test_sharded_map_step_matches_dense(monkeypatch):
+    """One full mapping train step (render -> grad -> halo fold -> Adam) on
+    the spatially sharded scene must match the same step on dense grids,
+    and the duplicated halo planes must stay bitwise-consistent."""
+    from nice_slam_tpu.models.scene import build_scene
+    from nice_slam_tpu.ops import interp as interp_mod
+    from nice_slam_tpu.ops.render import RenderConfig, render_batch_ray
+    from nice_slam_tpu.parallel.grid_sharding import (
+        make_grid_sharded_map_step,
+        unshard_grid,
+    )
+    from nice_slam_tpu.slam.optim import group_adam_update, init_group_adam
+
+    # dense reference must use plain-f32 autodiff (the production bf16
+    # scatter buffer differs from the sharded path's exact autodiff)
+    monkeypatch.setattr(interp_mod, "_SEGSUM_MODE", "0")
+
+    cfg = {
+        "dataset": "synthetic", "scale": 1, "occupancy": True,
+        "coarse": False,
+        "grid_len": {"coarse": 1.2, "middle": 0.6, "fine": 0.3,
+                     "color": 0.3, "bound_divisible": 0.6},
+        "model": {"c_dim": 8, "coarse_bound_enlarge": 2,
+                  "pos_embedding_method": "fourier"},
+        "data": {"dim": 3},
+        "mapping": {"bound": [[-1.8, 1.8]] * 3},
+        "cam": {},
+        "rendering": {"N_samples": 8, "N_surface": 4, "N_importance": 0,
+                      "lindisp": False, "perturb": 0.0},
+    }
+    spec, state = build_scene(cfg, nice=True, seed=5)
+    rcfg = RenderConfig.from_cfg(cfg)
+    mesh = _mesh()
+
+    step, shard_grids, init_adam = make_grid_sharded_map_step(
+        mesh, spec, "color", rcfg, w_color=0.2, lr=0.05)
+
+    rng = np.random.default_rng(0)
+    n = 64
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays_o = jnp.zeros((n, 3))
+    rays_d = jnp.asarray(dirs)
+    gt_d = jnp.full((n,), 1.2)
+    gt_c = jnp.full((n, 3), 0.4)
+
+    sharded = shard_grids(state.grids)
+    adam = init_adam(sharded)
+    new_sharded, _, loss_s = step(sharded, state, adam, rays_o, rays_d,
+                                  gt_d, gt_c)
+
+    # dense reference step (identical loss + Adam math)
+    def loss_fn(grids):
+        depth, _, color = render_batch_ray(
+            spec, state._replace(grids=grids), rays_o, rays_d, "color",
+            gt_depth=gt_d, rcfg=rcfg,
+        )
+        loss = jnp.sum(jnp.where(gt_d > 0, jnp.abs(gt_d - depth), 0.0))
+        return loss + 0.2 * jnp.sum(jnp.abs(gt_c - color))
+
+    loss_d, grads = jax.value_and_grad(loss_fn)(state.grids)
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-5)
+    adam_d = init_group_adam({"grids": state.grids})
+    new_p, _ = group_adam_update(
+        {"grids": state.grids}, {"grids": grads}, adam_d,
+        {"grids": jnp.asarray(0.05, jnp.float32)}, {"grids": True},
+    )
+
+    for k, sg in new_sharded.items():
+        # halo consistency: slab d's halo plane == slab d+1's base plane
+        slabs = np.asarray(sg.slabs)
+        np.testing.assert_array_equal(slabs[:-1, -1], slabs[1:, 0])
+        got = np.asarray(unshard_grid(sg))
+        want = np.asarray(new_p["grids"][k])
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=k)
