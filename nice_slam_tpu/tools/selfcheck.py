@@ -84,6 +84,10 @@ def main() -> None:
              "reconstruction quality from tracking drift, e.g. for a "
              "full-coverage tour faster than the tracker's per-frame "
              "budget.")
+    parser.add_argument(
+        "--imap", action="store_true",
+        help="run the iMAP* single-MLP model family instead of NICE "
+             "(reference run.py --imap)")
     args = parser.parse_args()
 
     import jax
@@ -100,8 +104,9 @@ def main() -> None:
     from nice_slam_tpu.tools.eval_ate import align
     from nice_slam_tpu.tools.eval_recon import calc_3d_metric
 
+    base = "imap.yaml" if args.imap else "nice_slam.yaml"
     cfg = load_config(os.path.join(here, "configs", "Synthetic", "box.yaml"),
-                      os.path.join(here, "configs", "nice_slam.yaml"))
+                      os.path.join(here, "configs", base))
     cfg["coarse"] = False
     cfg["verbose"] = False
     cfg["data"]["n_frames"] = args.frames
@@ -123,7 +128,8 @@ def main() -> None:
     if args.gt_camera:
         cfg["tracking"]["gt_camera"] = True
 
-    ns = argparse.Namespace(nice=True, input_folder=None, output=None)
+    ns = argparse.Namespace(nice=not args.imap, input_folder=None,
+                            output=None)
     slam = NiceSLAM(cfg, ns)
     slam.run()
 

@@ -168,3 +168,22 @@ def test_coarse_merge_no_lost_updates(tmp_path):
     dcoarse = np.asarray(slam.state.grids["grid_coarse"]) - base_coarse
     np.testing.assert_allclose(dfine, rounds, atol=1e-4)
     np.testing.assert_allclose(dcoarse, rounds, atol=1e-4)
+
+
+def test_free_mode_completes_and_tracks(tmp_path):
+    """'free' scheduling has no gates at all (reference src/Tracker.py:174):
+    the tracker may outrun the mapper arbitrarily.  The run must still
+    terminate, produce finite poses for every frame, and map the final
+    frame (the mapper thread's last-frame handoff)."""
+    from nice_slam_tpu.slam.slam import NiceSLAM
+
+    n = 8
+    cfg = _small_cfg(tmp_path, n_frames=n, sync_method="free")
+    args = argparse.Namespace(nice=True, input_folder=None, output=None)
+    slam = NiceSLAM(cfg, args)
+    slam.run()
+
+    assert np.isfinite(slam.estimate_c2w_list[:n]).all()
+    assert slam.mapping_idx == n - 1, "final frame was never mapped"
+    ate = _ate(slam, n)
+    assert ate < 0.3, f"free-mode tracking diverged: ATE {ate}"
