@@ -35,7 +35,7 @@ Build -> query:
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
