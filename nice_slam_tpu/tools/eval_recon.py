@@ -194,25 +194,41 @@ def calc_2d_metric(
         np.random.seed(seed)
 
     errors = []
+    hit_fracs = []
     for _ in range(n_imgs):
-        while True:
+        # the reference searches for an unseen-free view with an UNBOUNDED
+        # loop (src/tools/eval_recon.py:160-178) — with large unobserved
+        # regions that spins forever; bound the attempts instead
+        c2w = None
+        for _attempt in range(1000):
             up = np.array([0.0, 0.0, -1.0])
             local = (np.random.rand(3) - 0.5) * extents
             origin = transform[:3, :3] @ local + transform[:3, 3]
             target = np.array(
                 [random.uniform(-10000, 10000) for _ in range(3)]
             ) - origin
-            c2w = np.eye(4)
-            c2w[:3, :] = viewmatrix(target, up, origin)
+            cand = np.eye(4)
+            cand[:3, :] = viewmatrix(target, up, origin)
             if len(pc_unseen) == 0 or not check_proj(
-                pc_unseen, W, H, fx, fy, cx, cy, c2w
+                pc_unseen, W, H, fx, fy, cx, cy, cand
             ):
+                c2w = cand
                 break
+        if c2w is None:
+            break
         gt_depth = gt_caster.render_depth(c2w, H, W, fx, fy, cx, cy, z_far=20.0)
         ours_depth = rec_caster.render_depth(c2w, H, W, fx, fy, cx, cy,
                                              z_far=20.0)
         errors.append(np.abs(gt_depth - ours_depth).mean())
+        hit_fracs.append(float((gt_depth > 0).mean()))
 
+    if not errors:
+        print("WARN: no unseen-free views found; Depth L1 undefined")
+        return {"depth_l1_cm": float("nan")}
+    if np.mean(hit_fracs) < 0.05:
+        print(f"WARN: GT mesh hit fraction {np.mean(hit_fracs):.1%} — "
+              "no-hit pixels compare as equal (reference metric semantics); "
+              "Depth L1 is unreliable on this coverage")
     depth_l1 = float(np.mean(errors) * 100)
     print("Depth L1: ", depth_l1)
     return {"depth_l1_cm": depth_l1}
