@@ -19,7 +19,11 @@ round-1 bench reported tracking alone, which over-stated system throughput
 Baseline: the NICE-SLAM paper reports ~47 ms/tracking-iter and
 ~130 ms/mapping-iter on an RTX 3090 (BASELINE.md) ->
 0.47 + 130*60/5 ms = 2.03 s/frame ~= 0.493 FPS end-to-end, 2.13 FPS
-tracking-only.
+tracking-only.  The baseline deliberately models ONE mapper while our
+measured time includes the coarse-mapper call serialized on the same
+chip (the reference runs it as a second process contending for the same
+GPU, unmodeled by the paper numbers) — i.e. vs_baseline is CONSERVATIVE
+for this framework.
 
 Prints ONE JSON line:
   {"metric": "e2e_fps_replica_workload", "value": N, "unit": "frames/s",

@@ -100,10 +100,12 @@ def _corner_flat_indices(grid_shape, i0, i1):
 def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     """Trilinearly interpolate a channels-last 3D feature grid.
 
-    On TPU this routes through the custom-VJP variant whose grid-gradient
-    scatter is the Pallas sorted-segment kernel (ops/segsum.py) — the
-    round-1 profile showed XLA's native scatter-add lowering at 62% of the
-    mapping step (PERF.md).  Elsewhere (CPU tests) plain autodiff.
+    Routes through the custom-VJP variant on ALL backends; its default
+    grid-gradient strategy is the cell-block scatter with a bf16
+    contribution buffer (_dgrid_block_scatter — the resolution of the
+    round-1 finding that XLA's native scatter-add lowering ate 62% of the
+    mapping step; strategies + history in the module header and PERF.md).
+    NICE_SLAM_TPU_SEGSUM=0 restores plain autodiff for debugging.
 
     Args:
         grid: (Nx, Ny, Nz, C) feature volume.

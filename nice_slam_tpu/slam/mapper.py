@@ -509,8 +509,13 @@ def optimize_map_jit(
             g2, a2 = group_adam_update(g, grads, a, lrs, _active)
             return (g2, a2, it + 1), loss
 
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, n_iters)
+        # per-iteration keys derive from (call key, GLOBAL iteration index),
+        # so splitting one logical call into chunks (adam_in carry, per-
+        # iteration visualization) reproduces the unsplit call's sampling
+        # exactly — it_base tracks the global offset across chunks/stages
+        _, _, it_base = carry
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            it_base + jnp.arange(n_iters, dtype=jnp.int32))
         carry, losses = jax.lax.scan(step, carry, keys)
         all_losses.append(losses)
 
@@ -716,13 +721,17 @@ class Mapper:
         adam_carry = None
         g = 0
         chunk_losses = []
+        # ONE key per logical optimize_map call: per-iteration keys are
+        # folded from (call key, global iteration) inside the jit, so every
+        # chunk samples exactly what the unsplit call would
+        call_key = self._next_key()
         for cplan in chunk_plans:
             if vis_hook is not None and vis_every > 0 and g % vis_every == 0:
                 vis_hook(g, cur_state)
             cur_state, cur_cams, losses, adam_carry = optimize_map_jit(
                 self.spec, cur_state, colors, depths, fixed_c2w, cur_cams,
                 opt_mask_j, grid_masks, jnp.asarray(lr_factor, jnp.float32),
-                self._next_key(), adam_carry, mcfg, self.rcfg, cplan, BA,
+                call_key, adam_carry, mcfg, self.rcfg, cplan, BA,
                 pixs_per_image, self.mesh,
             )
             # losses stay ON DEVICE: converting here would block the host on

@@ -195,6 +195,7 @@ def calc_2d_metric(
 
     errors = []
     hit_fracs = []
+    exhausted = 0
     for _ in range(n_imgs):
         # the reference searches for an unseen-free view with an UNBOUNDED
         # loop (src/tools/eval_recon.py:160-178) — with large unobserved
@@ -215,7 +216,11 @@ def calc_2d_metric(
                 c2w = cand
                 break
         if c2w is None:
-            break
+            exhausted += 1
+            if exhausted >= 3:  # views are i.i.d.: three misses in a row
+                break           # means the rest would burn attempts too
+            continue
+        exhausted = 0
         gt_depth = gt_caster.render_depth(c2w, H, W, fx, fy, cx, cy, z_far=20.0)
         ours_depth = rec_caster.render_depth(c2w, H, W, fx, fy, cx, cy,
                                              z_far=20.0)
@@ -225,6 +230,9 @@ def calc_2d_metric(
     if not errors:
         print("WARN: no unseen-free views found; Depth L1 undefined")
         return {"depth_l1_cm": float("nan")}
+    if len(errors) < n_imgs:
+        print(f"WARN: only {len(errors)}/{n_imgs} unseen-free views found; "
+              "Depth L1 averaged over the reduced sample")
     if np.mean(hit_fracs) < 0.05:
         print(f"WARN: GT mesh hit fraction {np.mean(hit_fracs):.1%} — "
               "no-hit pixels compare as equal (reference metric semantics); "

@@ -188,9 +188,19 @@ class O3DFrontend:
         self._mesh_geom = None
         self._frustum = None
         self._traj_pts: List[np.ndarray] = []
+        self._gt_pts: List[np.ndarray] = []
+        # ONE persistent LineSet per trajectory, grown in place — a
+        # geometry per segment would make the scene graph (and the
+        # per-frame poll/update) degrade on long sequences
+        self._traj_ls = o3d.geometry.LineSet()
+        self._gt_ls = o3d.geometry.LineSet()
+        self._traj_added = False
+        self._gt_added = False
         self.vis = o3d.visualization.Visualizer()
-        self.vis.create_window(window_name="nice_slam_tpu", width=1280,
-                               height=720)
+        if not self.vis.create_window(window_name="nice_slam_tpu",
+                                      width=1280, height=720):
+            raise RuntimeError("open3d window creation failed "
+                               "(headless host / no display?)")
         if save_rendering:
             os.makedirs(os.path.join(output, "tmp_rendering"), exist_ok=True)
 
@@ -212,22 +222,28 @@ class O3DFrontend:
         self.vis.add_geometry(self._frustum, False)
         self._traj_pts.append(np.asarray(c2w[:3, 3], np.float64))
         if len(self._traj_pts) >= 2:
-            seg = o3d.geometry.LineSet(
-                points=o3d.utility.Vector3dVector(self._traj_pts[-2:]),
-                lines=o3d.utility.Vector2iVector([[0, 1]]),
-            )
-            seg.paint_uniform_color([0, 0, 1])
-            self.vis.add_geometry(seg, False)
-        if (self.gt_c2w_list is not None and idx >= 1
-                and idx < len(self.gt_c2w_list)):
-            seg = o3d.geometry.LineSet(
-                points=o3d.utility.Vector3dVector(
-                    np.asarray(self.gt_c2w_list[idx - 1:idx + 1, :3, 3],
-                               np.float64)),
-                lines=o3d.utility.Vector2iVector([[0, 1]]),
-            )
-            seg.paint_uniform_color([0, 1, 0])
-            self.vis.add_geometry(seg, False)
+            self._traj_ls.points = o3d.utility.Vector3dVector(self._traj_pts)
+            self._traj_ls.lines = o3d.utility.Vector2iVector(
+                [[i, i + 1] for i in range(len(self._traj_pts) - 1)])
+            self._traj_ls.paint_uniform_color([0, 0, 1])
+            if self._traj_added:
+                self.vis.update_geometry(self._traj_ls)
+            else:
+                self.vis.add_geometry(self._traj_ls, False)
+                self._traj_added = True
+        if (self.gt_c2w_list is not None and idx < len(self.gt_c2w_list)):
+            self._gt_pts.append(
+                np.asarray(self.gt_c2w_list[idx][:3, 3], np.float64))
+            if len(self._gt_pts) >= 2:
+                self._gt_ls.points = o3d.utility.Vector3dVector(self._gt_pts)
+                self._gt_ls.lines = o3d.utility.Vector2iVector(
+                    [[i, i + 1] for i in range(len(self._gt_pts) - 1)])
+                self._gt_ls.paint_uniform_color([0, 1, 0])
+                if self._gt_added:
+                    self.vis.update_geometry(self._gt_ls)
+                else:
+                    self.vis.add_geometry(self._gt_ls, False)
+                    self._gt_added = True
         self.vis.poll_events()
         self.vis.update_renderer()
         img = None
@@ -239,27 +255,22 @@ class O3DFrontend:
 
     def finalize_video(self, path: str, fps: int = 30) -> Optional[str]:
         self.vis.destroy_window()
-        if not self.frames:
-            return None
-        import cv2
-
-        H, W = self.frames[0].shape[:2]
-        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
-                             (W, H))
-        for f in self.frames:
-            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-        vw.release()
-        return path
+        return SLAMFrontend.finalize_video(self, path, fps)
 
 
 def make_frontend(*args, online: Optional[bool] = None, **kwargs):
     """Frontend factory: the live Open3D window when the library is
     importable (or ``online=True`` forces the attempt), else the offline
-    raycast replay.  ``online=False`` forces offline."""
+    raycast replay.  ``online=False`` forces offline.
+
+    In auto mode ANY construction failure falls back (open3d importing
+    but window creation failing — headless host, no GLFW/display — is as
+    common as the library being absent); an explicit ``online=True``
+    surfaces the error instead."""
     if online is not False:
         try:
             return O3DFrontend(*args, **kwargs)
-        except ImportError:
-            if online:  # explicitly requested but unavailable
+        except Exception:
+            if online:  # explicitly requested: surface the real error
                 raise
     return SLAMFrontend(*args, **kwargs)

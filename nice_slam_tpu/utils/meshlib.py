@@ -20,23 +20,45 @@ _LIB: Optional[ctypes.CDLL] = None
 _CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "csrc")
 
 
+# every symbol the current code requires — a prebuilt .so from an older
+# source revision that lacks any of them must be REBUILT, not loaded
+# (loading it would raise AttributeError at attribute-binding time and
+# silently disable all meshing)
+_REQUIRED_SYMBOLS = (
+    "marching_tetrahedra", "marching_cubes_classic", "mesh_components",
+    "free_buffer", "bvh_build", "bvh_free", "bvh_render_depth",
+    "bvh_cast_rays",
+)
+
+
+def _build_lib(src: str, so: str) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
+            check=True, capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
 def _load_lib() -> Optional[ctypes.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
     so = os.path.join(_CSRC, "libmesh_kernels.so")
+    src = os.path.join(_CSRC, "mesh_kernels.cpp")
     if not os.path.exists(so):
-        src = os.path.join(_CSRC, "mesh_kernels.cpp")
-        if not os.path.exists(src):
-            return None
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so],
-                check=True, capture_output=True,
-            )
-        except (subprocess.CalledProcessError, FileNotFoundError):
+        if not os.path.exists(src) or not _build_lib(src, so):
             return None
     lib = ctypes.CDLL(so)
+    if not all(hasattr(lib, s) for s in _REQUIRED_SYMBOLS):
+        # stale prebuilt library from an older source revision: rebuild once
+        if not os.path.exists(src) or not _build_lib(src, so):
+            return None
+        lib = ctypes.CDLL(so)
+        if not all(hasattr(lib, s) for s in _REQUIRED_SYMBOLS):
+            return None
     _mc_argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_float),

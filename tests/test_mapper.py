@@ -170,3 +170,86 @@ def test_keyframe_store_grows_past_capacity():
     colors, _, poses = store.gather_window([4, 0])
     np.testing.assert_allclose(np.asarray(colors[0]), c + 4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(poses[1]), p, atol=1e-6)
+
+
+def test_chunked_optimize_map_equals_unsplit(tmp_path):
+    """Splitting one logical optimize_map call at visualization boundaries
+    (Adam state carried, per-iteration keys folded from the global
+    iteration index) must reproduce the UNSPLIT call exactly — enabling
+    visualization may not change the optimization trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from nice_slam_tpu.models.scene import build_scene
+    from nice_slam_tpu.ops.render import RenderConfig
+    from nice_slam_tpu.slam.keyframes import KeyframeStore
+    from nice_slam_tpu.slam.mapper import Mapper, MapperConfig
+    from nice_slam_tpu.utils.datasets import Synthetic
+
+    cam = {"H": 40, "W": 52, "fx": 40.0, "fy": 40.0, "cx": 25.5, "cy": 19.5,
+           "png_depth_scale": 1.0, "crop_edge": 0}
+    cfg = {
+        "dataset": "synthetic", "scale": 1, "coarse": False, "occupancy": True,
+        "grid_len": {"coarse": 2, "middle": 0.8, "fine": 0.4, "color": 0.4,
+                     "bound_divisible": 0.8},
+        "model": {"c_dim": 8, "coarse_bound_enlarge": 2,
+                  "pos_embedding_method": "fourier"},
+        "data": {"dim": 3, "n_frames": 3},
+        "cam": cam,
+        "mapping": {
+            "bound": [[-2.2, 2.2]] * 3,
+            "pixels": 200, "iters": 12, "iters_first": 12, "every_frame": 1,
+            "keyframe_every": 1, "mapping_window_size": 3,
+            "middle_iter_ratio": 0.4, "fine_iter_ratio": 0.6,
+            "w_color_loss": 0.2, "BA": False, "BA_cam_lr": 0.001,
+            "fix_fine": True, "fix_color": False,
+            "frustum_feature_selection": True,
+            "keyframe_selection_method": "overlap",
+            "lr_first_factor": 5, "lr_factor": 1, "color_refine": False,
+            "stage": {
+                "coarse": {"decoders_lr": 0.0, "coarse_lr": 0.001,
+                           "middle_lr": 0.0, "fine_lr": 0.0, "color_lr": 0.0},
+                "middle": {"decoders_lr": 0.0, "coarse_lr": 0.0,
+                           "middle_lr": 0.1, "fine_lr": 0.0, "color_lr": 0.0},
+                "fine": {"decoders_lr": 0.0, "coarse_lr": 0.0,
+                         "middle_lr": 0.005, "fine_lr": 0.005,
+                         "color_lr": 0.0},
+                "color": {"decoders_lr": 0.005, "coarse_lr": 0.0,
+                          "middle_lr": 0.005, "fine_lr": 0.005,
+                          "color_lr": 0.005},
+            },
+        },
+        "rendering": {"N_samples": 8, "N_surface": 4, "N_importance": 0,
+                      "lindisp": False, "perturb": 0.0},
+    }
+    spec, state = build_scene(cfg, nice=True, seed=0)
+    rcfg = RenderConfig.from_cfg(cfg)
+    mcfg = MapperConfig.from_cfg(cfg, cam, nice=True)
+
+    ds = Synthetic(cfg)
+    store = KeyframeStore(4, cam["H"], cam["W"])
+    for j in range(2):
+        _, c, d, p = ds[j]
+        store.add(j, jnp.asarray(c), jnp.asarray(d), np.asarray(p),
+                  np.asarray(p))
+    _, c, d, p = ds[2]
+
+    def run(vis_hook, vis_every):
+        m = Mapper(spec, mcfg, rcfg, seed=7)
+        st, _, losses = m.optimize_map(
+            state, 12, 1.0, 2, jnp.asarray(c), jnp.asarray(d), np.asarray(p),
+            store, np.asarray(p), BA=False,
+            vis_hook=vis_hook, vis_every=vis_every,
+        )
+        return st, np.asarray(losses)
+
+    calls = []
+    st_a, losses_a = run(None, 0)
+    st_b, losses_b = run(lambda it, s: calls.append(it), 5)
+
+    assert calls == [0, 5, 10]  # the hook really chunked the call
+    np.testing.assert_array_equal(losses_a, losses_b)
+    for k in st_a.grids:
+        np.testing.assert_array_equal(np.asarray(st_a.grids[k]),
+                                      np.asarray(st_b.grids[k]),
+                                      err_msg=k)

@@ -1,5 +1,6 @@
 """Native mesh kernels: iso-surface quality, components, PLY, raycaster."""
 
+import os
 import numpy as np
 import pytest
 
@@ -88,3 +89,43 @@ def test_sample_surface_uniform(sphere_mesh):
     assert abs(r.mean() - 1.0) < 0.01
     # roughly uniform over the sphere: mean z ~ 0
     assert abs(pts[:, 2].mean()) < 0.05
+
+
+def test_stale_library_is_rebuilt(tmp_path):
+    """A prebuilt libmesh_kernels.so from an older source revision (missing
+    newer symbols) must be rebuilt, not loaded — loading it would raise
+    AttributeError and silently disable all meshing."""
+    import ctypes
+    import shutil
+    import subprocess
+
+    from nice_slam_tpu.utils import meshlib as M
+
+    so = os.path.join(M._CSRC, "libmesh_kernels.so")
+    if not os.path.exists(so):
+        pytest.skip("native lib not built in this environment")
+    backup = tmp_path / "libmesh_kernels.so.bak"
+    shutil.copyfile(so, backup)
+    old_lib = M._LIB
+    try:
+        # fabricate a stale library: valid shared object, missing symbols
+        stub_src = tmp_path / "stub.cpp"
+        stub_src.write_text('extern "C" int marching_tetrahedra() '
+                            "{ return 1; }\n")
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", str(stub_src), "-o", so],
+            check=True, capture_output=True,
+        )
+        M._LIB = None
+        lib = M._load_lib()
+        assert lib is not None
+        for sym in M._REQUIRED_SYMBOLS:
+            assert hasattr(lib, sym), f"missing {sym} after rebuild"
+        # and the rebuilt library actually works
+        field = np.zeros((3, 3, 3), np.float32)
+        field[1, 1, 1] = 1.0
+        verts, tris = M.marching_cubes(field, 0.5)
+        assert len(verts) > 0 and len(tris) > 0
+    finally:
+        shutil.copyfile(backup, so)
+        M._LIB = old_lib
