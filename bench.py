@@ -11,10 +11,13 @@ configs/Replica/replica.yaml):
     gradient masks) PLUS the coarse-mapper call (Replica defaults run both,
     reference coarse process) — every 5th frame (``every_frame``).
 
-Headline metric = end-to-end frames/s: 1 / (t_track + t_map/every_frame),
-i.e. the amortized per-frame cost of the full tracker+mapper system (the
-round-1 bench reported tracking alone, which over-stated system throughput
-~600x — VERDICT weak #2).
+Headline metric = end-to-end frames/s, MEASURED by driving the real
+NiceSLAM strict schedule (track_one every frame, map_one + coarse map_one
+every 5th — prefetched keyframe selection, device-put frame streaming,
+exactly the product loop) over a 40-frame steady-state window and dividing
+by wall clock.  Round 1 reported tracking alone (VERDICT r1 weak #2);
+round 2 used the additive formula 1/(t_track + t_map/every_frame), which
+ignores the loop's dispatch pipelining; round 3 measures the loop itself.
 
 Baseline: the NICE-SLAM paper reports ~47 ms/tracking-iter and
 ~130 ms/mapping-iter on an RTX 3090 (BASELINE.md) ->
@@ -168,13 +171,15 @@ def main() -> None:
     map_iters = cfg["mapping"]["iters"]
 
     def run_map(i, coarse_too=True):
-        """One mapping event as the strict SLAM loop runs it: the main call
-        is dispatched and the coarse-mapper call (Replica defaults run BOTH
+        """One mapping event as the strict SLAM loop runs it: the keyframe
+        -overlap ranking is prefetched (the loop dispatches it behind the
+        tracking scan, mapper.prefetch_selection), the main call is
+        dispatched, and the coarse-mapper call (Replica defaults run BOTH
         every 5th frame, reference src/NICE_SLAM.py coarse process) is
-        dispatched right behind it — optimize_map no longer syncs on its
-        losses, so the second call's host-side work (selection, masks)
-        overlaps the first call's device execution."""
+        dispatched right behind it — optimize_map never syncs on device
+        results, so the mapping event is one uninterrupted dispatch chain."""
         _, c, d, p = frames[4 + (i % 4)]
+        mapper.prefetch_selection(200 + i, c, d, p[:3], store)
         new_state, _, losses = mapper.optimize_map(
             state, map_iters, 1.0, 200 + i, c, d, p, store, p, BA=False,
         )
@@ -199,7 +204,13 @@ def main() -> None:
     jax.block_until_ready(out)
     t_map_full = (time.perf_counter() - t0) / n_map
 
-    e2e_fps = 1.0 / (t_track + t_map_full / EVERY_FRAME)
+    # additive lower bound (the round-2 formula; kept for comparability)
+    e2e_formula_fps = 1.0 / (t_track + t_map_full / EVERY_FRAME)
+
+    # ---------------- end-to-end: the REAL strict loop ----------------
+    e2e_fps = _measure_strict_loop(cfg, on_tpu)
+    if e2e_fps is None:
+        e2e_fps = e2e_formula_fps
 
     print(json.dumps({
         "metric": "e2e_fps_replica_workload",
@@ -210,7 +221,85 @@ def main() -> None:
         "tracking_vs_baseline": round(track_fps / TRACK_BASELINE_FPS, 3),
         "mapping_ms_per_iter": round(1000.0 * t_map / map_iters, 3),
         "mapping_with_coarse_ms": round(1000.0 * t_map_full, 3),
+        "e2e_formula_fps": round(e2e_formula_fps, 3),
     }))
+
+
+def _measure_strict_loop(base_cfg, on_tpu: bool):
+    """Drive the actual NiceSLAM strict schedule on the Replica-scale
+    synthetic scene; return steady-state frames/s over a 40-frame window
+    (frames 11-50: 8 full mapping events incl. the coarse mapper, 40
+    tracked frames, prefetched IO + selection — the product code path)."""
+    import argparse
+    import copy
+    import tempfile
+    import time
+
+    import jax
+    import numpy as np
+
+    from nice_slam_tpu.slam.slam import NiceSLAM
+    from nice_slam_tpu.utils.datasets import Prefetcher
+
+    # warmup covers frame-0 init (1500 iters) + the window-growth events
+    # (F = 2..5 each compile once); the timed window sees only the steady
+    # 5-frame-window shape
+    n_frames = 61 if on_tpu else 13
+    warm_end = 16 if on_tpu else 6          # timed window starts here
+    last = (55 if on_tpu else 10)           # ...and ends after this frame
+
+    cfg = copy.deepcopy(base_cfg)
+    out_dir = tempfile.mkdtemp(prefix="nice_slam_bench_")
+    cfg["seed"] = 0
+    cfg["data"].update({"n_frames": n_frames, "output": out_dir,
+                        "orbit_radians": 0.3})
+    big = 10 ** 9
+    cfg["mapping"].update({
+        "keyframe_every": 5,  # reach the steady 5-frame window quickly
+        "ckpt_freq": big, "mesh_freq": big, "vis_freq": big,
+        "vis_inside_freq": big, "no_vis_on_first_frame": True,
+        "no_log_on_first_frame": True, "no_mesh_on_first_frame": True,
+    })
+    cfg["tracking"].update({"vis_freq": big, "vis_inside_freq": big})
+
+    args = argparse.Namespace(nice=True, input_folder=None, output=None)
+    slam = NiceSLAM(cfg, args)
+
+    prefetch = Prefetcher(slam.frame_reader, depth=3, to_device=True)
+    t0 = None
+    frames_timed = 0
+    try:
+        for idx, color, depth, c2w in prefetch:
+            if idx == warm_end:
+                # drain the device queue so the window starts clean
+                jax.block_until_ready(slam.state.grids["grid_fine"])
+                t0 = time.perf_counter()
+            if idx == 0:
+                slam.estimate_c2w_list[0] = np.asarray(c2w)
+                slam.gt_c2w_list[0] = np.asarray(c2w)
+                slam.map_one(0, color, depth, c2w, init=True)
+                if slam.coarse_mapper is not None:
+                    slam.map_one(0, color, depth, c2w, init=True, coarse=True)
+                slam.idx = 0
+                continue
+            will_map = idx % EVERY_FRAME == 0
+            slam.track_one(idx, color, depth, c2w, will_map=will_map)
+            if will_map:
+                slam.map_one(idx, color, depth, c2w, init=False)
+                if slam.coarse_mapper is not None:
+                    slam.map_one(idx, color, depth, c2w, init=False,
+                                 coarse=True)
+            if t0 is not None:
+                frames_timed += 1
+            if idx == last:
+                break
+    finally:
+        prefetch.close()
+    if t0 is None or frames_timed == 0:
+        return None
+    jax.block_until_ready((slam.state.grids["grid_fine"],
+                           slam.state.grids["grid_coarse"]))
+    return frames_timed / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

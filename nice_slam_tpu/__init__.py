@@ -13,8 +13,8 @@ Architecture differences from the reference (deliberate, TPU-first):
   * Whole optimization loops are jitted and ``lax.scan``-ned; all shapes are
     static, variable-size ray filters become weight masks.
   * The hot op — trilinear feature-grid interpolation fused with the tiny
-    decoder MLPs — runs as batched XLA gathers + MXU matmuls, with a Pallas
-    fused kernel on the performance path.
+    decoder MLPs — runs as batched XLA gathers + MXU matmuls; its gradient
+    scatter uses a custom cell-block formulation (ops/interp.py, PERF.md).
   * Multi-chip scaling uses ``jax.sharding`` ray-batch data parallelism over
     an ICI mesh (reference has no multi-device story at all).
   * Host-side tooling (marching cubes, mesh component filtering) is native

@@ -29,10 +29,9 @@ import jax.numpy as jnp
 #                     (~13 ns/row, trace-verified round 2), so cutting rows
 #                     8x beats it >2x; the shifted adds are bandwidth-cheap.
 #   xla             - plain 8N-row scatter-add (the round-1 path)
-#   pallas          - sorted-segment Pallas kernel (ops/segsum.py) on TPU —
-#                     measured SLOWER in-context (sequential carry chain);
-#                     kept as a documented experiment
-#   interpret       - the Pallas kernel in interpreter mode (CPU tests)
+# (A Pallas sorted-segment kernel was built, measured 5x slower in-context
+# — Mosaic's ~10 us/grid-step overhead dwarfs the work — and deleted in
+# round 3; the negative result lives in PERF.md.)
 # NICE_SLAM_TPU_SEGSUM=0 additionally disables the custom VJP entirely
 # (plain autodiff, debug only).
 # NICE_SLAM_TPU_DGRAD_BF16=0 keeps the block scatter's contribution
@@ -123,11 +122,10 @@ def trilinear_interp(grid: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
 def trilinear_interp_explicit_vjp(grid: jnp.ndarray,
                                   p_nor: jnp.ndarray) -> jnp.ndarray:
     """Variant with a hand-written backward (grad-exact vs autodiff; see
-    tests): the grid cotangent is materialized as 8N explicit corner
-    contributions and accumulated by the Pallas sorted-segment kernel on
-    TPU.  Carries no optimization barrier, so pose-only differentiation
-    (the tracker) still dead-code-eliminates the whole grid-gradient
-    branch."""
+    tests): the grid cotangent is accumulated by the cell-block scatter
+    (default) or a plain 8N-row scatter-add.  Carries no optimization
+    barrier, so pose-only differentiation (the tracker) still
+    dead-code-eliminates the whole grid-gradient branch."""
     return _trilinear_impl(grid, p_nor)
 
 
@@ -182,8 +180,11 @@ def _dgrid_block_scatter(grid_shape, dtype, i0, weights, g):
     All 8 corner targets of a point share its cell-base flat index plus a
     fixed offset (bx*ny*nz + by*nz + bz).  The border clamp (i1 = i0) only
     occurs where frac = 0, i.e. where the +1-corner weights are identically
-    zero — so scattering into a virtually-unclamped padded row space is
-    exact, and the zero contributions land in rows no slice ever reads.
+    zero.  The invariant the fold relies on: only an x-axis clamp overflows
+    the flat index past V, into the maxoff pad region no slice reads; a
+    clamped +y/+z corner's offset wraps into a REAL row of a neighboring
+    cell — which is exact only because its weight is identically 0.0 there
+    (frac = 0 at the clamp), so the wrapped row receives a zero.
     """
     nx, ny, nz, C = grid_shape
     V = nx * ny * nz
@@ -209,19 +210,10 @@ def _dgrid_block_scatter(grid_shape, dtype, i0, weights, g):
 
 def _dgrid_scatter(grid_shape, dtype, flat_idx, contribs):
     """Accumulate (8N, C) corner contributions into the flat grid
-    (the 'xla' and 'pallas'/'interpret' strategies)."""
+    (the 'xla' strategy)."""
     nx, ny, nz, C = grid_shape
     V = nx * ny * nz
-    from nice_slam_tpu.ops.segsum import MAX_VOXELS, sorted_segment_scatter
-
-    on_tpu = jax.default_backend() == "tpu"
-    if _DGRAD_MODE in ("pallas", "interpret") and V < MAX_VOXELS:
-        dflat = sorted_segment_scatter(
-            flat_idx, contribs.astype(jnp.float32), V,
-            interpret=not on_tpu,
-        ).astype(dtype)
-    else:
-        dflat = jnp.zeros((V, C), dtype).at[flat_idx].add(contribs)
+    dflat = jnp.zeros((V, C), dtype).at[flat_idx].add(contribs)
     return dflat.reshape(grid_shape)
 
 

@@ -167,6 +167,19 @@ def overlap_scores(
     return jax.vmap(score)(kf_c2ws)
 
 
+def _select_from_scores(
+    rng: np.random.Generator, mcfg: MapperConfig, scores: np.ndarray,
+    n_keyframes: int,
+) -> List[int]:
+    """Overlap-path selection from host-side scores: keep positive-overlap
+    keyframes, random-permute, take window_size-2 (reference :222-228)."""
+    k = mcfg.mapping_window_size - 2
+    scores = np.asarray(scores)[: n_keyframes - 1]
+    eligible = [int(i) for i in np.nonzero(scores > 0.0)[0]]
+    perm = rng.permutation(len(eligible))
+    return [eligible[int(i)] for i in perm[:k]]
+
+
 def select_keyframes(
     rng: np.random.Generator,
     mcfg: MapperConfig,
@@ -188,17 +201,16 @@ def select_keyframes(
             return []
         perm = rng.permutation(n_keyframes - 1)
         return [int(x) for x in perm[: min(n_keyframes - 1, k)]]
-    # 'overlap'
+    # 'overlap' — scored over the full capacity-padded pose array (static
+    # shape: keyframe admissions don't recompile; padded slots are sliced
+    # off host-side in _select_from_scores)
     scores = np.asarray(
         overlap_scores(
-            key, gt_color, gt_depth, jnp.asarray(cur_c2w),
-            kf_est_c2w[: max(n_keyframes - 1, 1)],
+            key, gt_color, gt_depth, jnp.asarray(cur_c2w), kf_est_c2w,
             mcfg.H, mcfg.W, mcfg.fx, mcfg.fy, mcfg.cx, mcfg.cy,
         )
-    )[: n_keyframes - 1]
-    eligible = [int(i) for i in np.nonzero(scores > 0.0)[0]]
-    perm = rng.permutation(len(eligible))
-    return [eligible[int(i)] for i in perm[:k]]
+    )
+    return _select_from_scores(rng, mcfg, scores, n_keyframes)
 
 
 # ---------------------------------------------------------------------------
@@ -602,6 +614,7 @@ class Mapper:
         # src/Mapper.py:74-76,274-287); checkpointed when enabled
         self.save_selected_keyframes_info = save_selected_keyframes_info
         self.selected_keyframes = {} if save_selected_keyframes_info else None
+        self._pending_selection = None  # [frame_idx, n_kf, scores]
         # multi-chip ray-batch data parallelism: engage automatically when
         # more than one device is visible (scene replicated, rays sharded)
         self.mesh = None
@@ -620,6 +633,52 @@ class Mapper:
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    # ------------------------------------------------------------------
+    # Keyframe-selection prefetch: the overlap ranking's device->host sync
+    # was one blocking round-trip per mapping call (~50-100 ms over a
+    # remote-tunnel device, PERF.md round-3 queue #3).  The strict loop now
+    # dispatches the ranking right after the tracking scan — before it
+    # syncs on the tracked pose — so both results come back in ONE fetch.
+    # ------------------------------------------------------------------
+
+    def prefetch_selection(
+        self, frame_idx: int, gt_color, gt_depth, c2w_dev, keyframes
+    ) -> Optional[jax.Array]:
+        """Dispatch the overlap-score computation asynchronously.
+
+        ``c2w_dev`` may be a device array still being computed (the tracked
+        pose).  Returns the device scores (caller may batch-fetch them with
+        its own pending results and hand them back via
+        ``store_prefetched_scores``), or None when the selection method
+        needs no device work.  Consumes the selection PRNG key that
+        ``optimize_map`` would otherwise draw."""
+        n_kf = len(keyframes)
+        if self.mcfg.keyframe_selection_method != "overlap" or n_kf < 2:
+            return None
+        scores = overlap_scores(
+            self._next_key(), jnp.asarray(gt_color), jnp.asarray(gt_depth),
+            jnp.asarray(c2w_dev), keyframes.arrays.est_c2w,
+            self.mcfg.H, self.mcfg.W, self.mcfg.fx, self.mcfg.fy,
+            self.mcfg.cx, self.mcfg.cy,
+        )
+        self._pending_selection = [frame_idx, n_kf, scores]
+        return scores
+
+    def store_prefetched_scores(self, scores_host: np.ndarray) -> None:
+        """Replace the pending device scores with already-fetched host
+        values (so consumption pays no sync at all)."""
+        if self._pending_selection is not None:
+            self._pending_selection[2] = scores_host
+
+    def _consume_prefetched(self, frame_idx: int, n_kf: int):
+        pending, self._pending_selection = self._pending_selection, None
+        if pending is None:
+            return None
+        p_idx, p_nkf, scores = pending
+        if p_idx != frame_idx or p_nkf != n_kf:
+            return None  # stale prefetch (schedule changed); fall back
+        return np.asarray(scores)
 
     def optimize_map(
         self,
@@ -653,10 +712,14 @@ class Mapper:
             frustum_feature_selection=self.frustum_feature_selection,
         )
         n_kf = len(keyframes)
-        selected = select_keyframes(
-            self.rng, mcfg, self._next_key(), cur_gt_color, cur_gt_depth,
-            cur_c2w, keyframes.arrays.est_c2w, n_kf,
-        )
+        prefetched = self._consume_prefetched(idx, n_kf)
+        if prefetched is not None:
+            selected = _select_from_scores(self.rng, mcfg, prefetched, n_kf)
+        else:
+            selected = select_keyframes(
+                self.rng, mcfg, self._next_key(), cur_gt_color, cur_gt_depth,
+                cur_c2w, keyframes.arrays.est_c2w, n_kf,
+            )
         # window = selected + last keyframe + current frame (reference :267-272)
         window_positions = list(selected)
         oldest_slot = None

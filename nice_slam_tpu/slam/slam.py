@@ -40,6 +40,7 @@ from nice_slam_tpu.slam.tracker import (
     TrackerConfig,
     c2w_from_candidate,
     const_speed_init,
+    pose34_device,
     tensor_from_c2w,
     track_frame,
 )
@@ -217,18 +218,28 @@ class NiceSLAM:
         self._track_key, sub = jax.random.split(self._track_key)
         return sub
 
-    def track_one(self, idx: int, gt_color, gt_depth, gt_c2w) -> np.ndarray:
+    def track_one(self, idx: int, gt_color, gt_depth, gt_c2w,
+                  will_map: bool = False) -> np.ndarray:
         """Track a single frame (reference Tracker.run body,
-        src/Tracker.py:152-258)."""
+        src/Tracker.py:152-258).  ``will_map``: a mapping call on this frame
+        follows immediately (strict schedule) — dispatch the mapper's
+        keyframe-overlap ranking before syncing on the tracked pose so both
+        device results return in one fetch."""
         _t0 = time.perf_counter()
         try:
-            return self._track_one(idx, gt_color, gt_depth, gt_c2w)
+            return self._track_one(idx, gt_color, gt_depth, gt_c2w, will_map)
         finally:
             self.timings["tracking_s"] += time.perf_counter() - _t0
 
-    def _track_one(self, idx: int, gt_color, gt_depth, gt_c2w) -> np.ndarray:
+    def _track_one(self, idx: int, gt_color, gt_depth, gt_c2w,
+                   will_map: bool = False) -> np.ndarray:
         if idx == 0 or self.tcfg.gt_camera:
             c2w = np.asarray(gt_c2w, np.float32)
+            if will_map:
+                # nothing to overlap with, but dispatching early still hides
+                # the device latency behind map_one's host-side prologue
+                self.mapper.prefetch_selection(
+                    idx, gt_color, gt_depth, c2w[:3], self.keyframes)
             if idx % self.tracking_visualizer.freq == 0 and not (
                 idx == 0 and self.cfg["mapping"]["no_vis_on_first_frame"]
             ):
@@ -251,7 +262,20 @@ class NiceSLAM:
                 jnp.asarray(gt_color), jnp.asarray(gt_depth),
                 self._next_track_key(), self.tcfg, self.rcfg,
             )
-            c2w = c2w_from_candidate(candidate)
+            scores_dev = None
+            if will_map:
+                # async: uses the still-in-flight tracked pose on device
+                scores_dev = self.mapper.prefetch_selection(
+                    idx, gt_color, gt_depth, pose34_device(candidate),
+                    self.keyframes)
+            if scores_dev is not None:
+                c2w34, scores = jax.device_get(
+                    (pose34_device(candidate), scores_dev))
+                self.mapper.store_prefetched_scores(scores)
+                c2w = np.concatenate(
+                    [c2w34, np.array([[0, 0, 0, 1.0]], np.float32)], axis=0)
+            else:
+                c2w = c2w_from_candidate(candidate)
             if self.verbose:
                 # loss trajectory + camera-tensor error vs GT (reference
                 # src/Tracker.py:221-244 verbose block)
@@ -451,7 +475,7 @@ class NiceSLAM:
         from nice_slam_tpu.utils.datasets import Prefetcher
 
         prefetch = Prefetcher(self.frame_reader, depth=3,
-                              start=self._start_idx)
+                              start=self._start_idx, to_device=True)
         for idx, gt_color, gt_depth, gt_c2w in prefetch:
             if idx == 0:
                 self.estimate_c2w_list[0] = np.asarray(gt_c2w)
@@ -462,8 +486,9 @@ class NiceSLAM:
                                  coarse=True)
                 self.idx = 0
                 continue
-            self.track_one(idx, gt_color, gt_depth, gt_c2w)
-            if self._should_map(idx):
+            will_map = self._should_map(idx)
+            self.track_one(idx, gt_color, gt_depth, gt_c2w, will_map=will_map)
+            if will_map:
                 self.map_one(idx, gt_color, gt_depth, gt_c2w, init=False)
                 if self.coarse_mapper is not None and idx != self.n_img - 1:
                     self.map_one(idx, gt_color, gt_depth, gt_c2w, init=False,
@@ -471,26 +496,52 @@ class NiceSLAM:
 
     def _run_threaded(self) -> None:
         """loose/free sync: tracker + mapper(s) as concurrent host threads
-        polling shared progress counters (reference :161-175, :550-563)."""
+        polling shared progress counters (reference :161-175, :550-563).
+
+        Frame IO: the tracker consumes a background Prefetcher (sequential
+        access, same as the strict loop) and publishes each frame to a small
+        shared cache the mappers read instead of re-hitting the disk — the
+        mappers' access pattern is "a frame the tracker just produced"."""
+        from nice_slam_tpu.utils.datasets import Prefetcher
+
         every = self.mcfg.every_frame
-        stop = threading.Event()
+        frame_cache: Dict[int, tuple] = {}
+        cache_lock = threading.Lock()
+
+        def read_frame(idx: int):
+            with cache_lock:
+                if idx in frame_cache:
+                    return frame_cache[idx]
+            item = self.frame_reader[idx]
+            _, gt_color, gt_depth, gt_c2w = item
+            return gt_color, gt_depth, gt_c2w
+
+        def publish_frame(idx, gt_color, gt_depth, gt_c2w):
+            with cache_lock:
+                frame_cache[idx] = (gt_color, gt_depth, gt_c2w)
+                for k in [k for k in frame_cache if k < idx - 2 * every]:
+                    del frame_cache[k]
 
         def tracker_thread():
-            while self.mapping_first_frame == 0:
-                if self._abort.is_set():
-                    return
-                time.sleep(0.05)
-            for idx in range(1, self.n_img):
-                _, gt_color, gt_depth, gt_c2w = self.frame_reader[idx]
-                if self.sync_method == "loose":
-                    while self.mapping_idx < idx - every - every // 2:
-                        if self._abort.is_set():
-                            return
-                        time.sleep(0.05)
-                if self._abort.is_set():
-                    return
-                self.track_one(idx, gt_color, gt_depth, gt_c2w)
-            stop.set()
+            prefetch = Prefetcher(self.frame_reader, depth=3,
+                                  start=max(1, self._start_idx))
+            try:
+                while self.mapping_first_frame == 0:
+                    if self._abort.is_set():
+                        return
+                    time.sleep(0.005)
+                for idx, gt_color, gt_depth, gt_c2w in prefetch:
+                    publish_frame(idx, gt_color, gt_depth, gt_c2w)
+                    if self.sync_method == "loose":
+                        while self.mapping_idx < idx - every - every // 2:
+                            if self._abort.is_set():
+                                return
+                            time.sleep(0.005)
+                    if self._abort.is_set():
+                        return
+                    self.track_one(idx, gt_color, gt_depth, gt_c2w)
+            finally:
+                prefetch.close()
 
         def mapper_thread(coarse: bool):
             prev = -1
@@ -503,15 +554,15 @@ class NiceSLAM:
                     pass  # final frame: map it below
                 elif self.sync_method == "loose":
                     if not (idx == 0 or idx >= prev + every // 2):
-                        time.sleep(0.05)
+                        time.sleep(0.005)
                         continue
                 elif self.sync_method == "free":
                     pass
                 if idx == prev and idx != self.n_img - 1:
-                    time.sleep(0.05)
+                    time.sleep(0.005)
                     continue
                 prev = idx
-                _, gt_color, gt_depth, gt_c2w = self.frame_reader[idx]
+                gt_color, gt_depth, gt_c2w = read_frame(idx)
                 if first:
                     self.estimate_c2w_list[0] = np.asarray(gt_c2w)
                     self.gt_c2w_list[0] = np.asarray(gt_c2w)

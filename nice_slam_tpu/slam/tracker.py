@@ -198,6 +198,13 @@ def c2w_from_candidate(candidate: jnp.ndarray) -> np.ndarray:
     return np.concatenate([c2w, np.array([[0, 0, 0, 1.0]], np.float32)], axis=0)
 
 
+def pose34_device(candidate: jnp.ndarray) -> jnp.ndarray:
+    """7-vector -> (3, 4) pose, left ON DEVICE (no host sync) — lets callers
+    chain device work (e.g. keyframe-overlap ranking) onto a still-in-flight
+    tracking result and batch the fetches."""
+    return _pose_from_tensor_jit(candidate)
+
+
 _tensor_from_pose_jit = jax.jit(tensor_from_pose)
 _pose_from_tensor_jit = jax.jit(pose_from_tensor)
 

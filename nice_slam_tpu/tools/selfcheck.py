@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 
 import numpy as np
@@ -152,6 +153,10 @@ def main() -> None:
 
     depth_l1 = calc_2d_metric(rec_mesh, gt_mesh, align=True,
                               n_imgs=args.depth_l1_imgs, seed=0)
+    # calc_2d_metric returns NaN when no unseen-free views exist; keep the
+    # summary line valid strict JSON for non-Python consumers (NaN -> null)
+    d1 = depth_l1["depth_l1_cm"]
+    d1 = round(float(d1), 3) if math.isfinite(d1) else None
 
     summary = {
         "frames": n,
@@ -160,7 +165,7 @@ def main() -> None:
         "accuracy_cm": round(metrics["accuracy_cm"], 3),
         "completion_cm": round(metrics["completion_cm"], 3),
         "completion_ratio_pct": round(metrics["completion_ratio_pct"], 2),
-        "depth_l1_cm": round(depth_l1["depth_l1_cm"], 3),
+        "depth_l1_cm": d1,
         "timings": slam.timings,
     }
     print(json.dumps(summary))

@@ -45,9 +45,9 @@ import os
 
 @partial(jax.jit, static_argnames=("spec", "stage", "mesh"))
 def _eval_chunk(spec, state, pts, stage, mesh=None):
-    # The Pallas fused decoder kernel (ops/fused.py) was measured at parity
-    # with this plain-XLA path on the TPU (XLA already keeps the MLP chain
-    # fused; PERF.md) and is retired from the production path.
+    # A Pallas fused decoder kernel was measured at parity with this
+    # plain-XLA path on the TPU (XLA already keeps the MLP chain fused;
+    # PERF.md) and was deleted in round 3.
     if mesh is not None and pts.shape[0] % mesh.size == 0:
         # multi-chip: shard the lattice points over the dp axis (scene
         # replicated) — the largest single query volume in the system

@@ -91,46 +91,6 @@ def test_explicit_vjp_matches_autodiff():
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
 
 
-def test_segsum_kernel_matches_scatter_add():
-    """The Pallas sorted-segment scatter (the TPU grid-gradient kernel,
-    ops/segsum.py) must equal a plain scatter-add — exercised in
-    interpreter mode on CPU, compiled on TPU."""
-    from nice_slam_tpu.ops.segsum import TILE, sorted_segment_scatter
-
-    rng = np.random.default_rng(0)
-    # cases crossing tile boundaries, single-voxel floods, empty voxels
-    for M, V, C in [(100, 50, 8), (3 * TILE, 300, 32), (TILE + 1, 7, 16),
-                    (TILE, 1, 4), (37, 1000, 2)]:
-        idx = rng.integers(0, V, (M,)).astype(np.int32)
-        vals = rng.normal(size=(M, C)).astype(np.float32)
-        ref = np.zeros((V, C), np.float32)
-        np.add.at(ref, idx, vals)
-        out = np.asarray(sorted_segment_scatter(
-            jnp.asarray(idx), jnp.asarray(vals), V, interpret=True))
-        np.testing.assert_allclose(out, ref, atol=1e-4)
-
-
-def test_explicit_vjp_segsum_path_matches_autodiff(monkeypatch):
-    """Grad exactness of the full custom VJP with the Pallas segsum backward
-    engaged (interpret mode on CPU) — extends the round-1 grad-exactness
-    test to the kernel itself (VERDICT next-round item 2)."""
-    from nice_slam_tpu.ops import interp as interp_mod
-
-    monkeypatch.setattr(interp_mod, "_DGRAD_MODE", "interpret")
-    grid = jax.random.normal(jax.random.PRNGKey(11), (9, 7, 6, 8))
-    p = jax.random.uniform(jax.random.PRNGKey(12), (200, 3), minval=-1.3,
-                           maxval=1.3)
-    cot = jax.random.normal(jax.random.PRNGKey(13), (200, 8))
-
-    g1 = jax.grad(lambda g, pp: jnp.sum(
-        interp_mod.trilinear_interp_explicit_vjp(g, pp) * cot),
-        argnums=(0, 1))(grid, p)
-    g2 = jax.grad(lambda g, pp: jnp.sum(
-        interp_mod._trilinear_impl(g, pp) * cot), argnums=(0, 1))(grid, p)
-    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
-
-
 def test_block_scatter_vjp_matches_autodiff(monkeypatch):
     """The default dgrid strategy (cell-base block scatter + shifted adds)
     must be grad-exact vs autodiff in its f32 mode, including clamped

@@ -114,6 +114,86 @@ def test_pretrain_import_key_surgery(tmp_path):
     )
 
 
+def test_pretrain_import_real_blob_structure_full_coverage(tmp_path):
+    """Fixture checkpoints with the exact REAL ConvONet blob structure
+    (VERDICT r2 next #6): ``{'model': state_dict}`` containing encoder.*
+    tensors plus 'decoder.<param>' (coarse.pt) / 'decoder.coarse_<param>' +
+    'decoder.fine_<param>' (middle_fine.pt), torch (out,in) Linear weights.
+    A mounted real blob must import first try: assert EVERY decoder
+    parameter receives a checkpoint value and EVERY decoder key is
+    consumed (no silent drops)."""
+    from nice_slam_tpu.models.pretrain import (
+        apply_state_dict,
+        load_pretrain,
+        surgery_coarse,
+        surgery_middle_fine,
+    )
+
+    cfg = _cfg()
+    spec, state = build_scene(cfg, nice=True, seed=4)
+    spec2, state2 = build_scene(cfg, nice=True, seed=123)
+
+    def emit(model, params, prefix):
+        if "embedder_B" in params:
+            model[f"{prefix}embedder._B"] = torch.from_numpy(
+                np.asarray(params["embedder_B"]))
+        for i, l in enumerate(params["pts_linears"]):
+            model[f"{prefix}pts_linears.{i}.weight"] = torch.from_numpy(
+                np.asarray(l["w"]).T.copy())
+            model[f"{prefix}pts_linears.{i}.bias"] = torch.from_numpy(
+                np.asarray(l["b"]))
+        for i, l in enumerate(params.get("fc_c", [])):
+            model[f"{prefix}fc_c.{i}.weight"] = torch.from_numpy(
+                np.asarray(l["w"]).T.copy())
+            model[f"{prefix}fc_c.{i}.bias"] = torch.from_numpy(
+                np.asarray(l["b"]))
+        model[f"{prefix}output_linear.weight"] = torch.from_numpy(
+            np.asarray(params["output_linear"]["w"]).T.copy())
+        model[f"{prefix}output_linear.bias"] = torch.from_numpy(
+            np.asarray(params["output_linear"]["b"]))
+
+    # coarse.pt: 'decoder.' + MLP_no_xyz params, plus ConvONet encoder noise
+    coarse_model = {"encoder.fc_pos.weight": torch.zeros(4, 4),
+                    "encoder.blocks.0.fc_0.bias": torch.zeros(4)}
+    emit(coarse_model, state2.decoders["coarse"], "decoder.")
+    coarse_pt = tmp_path / "coarse.pt"
+    torch.save({"model": coarse_model}, coarse_pt)
+
+    # middle_fine.pt: middle under 'decoder.coarse_', fine under 'decoder.fine_'
+    mf_model = {"encoder.unet3d.final_conv.weight": torch.zeros(2, 2)}
+    emit(mf_model, state2.decoders["middle"], "decoder.coarse_")
+    emit(mf_model, state2.decoders["fine"], "decoder.fine_")
+    mf_pt = tmp_path / "middle_fine.pt"
+    torch.save({"model": mf_model}, mf_pt)
+
+    # surgery + apply: full coverage both directions
+    coarse_sd = surgery_coarse({k: v for k, v in coarse_model.items()})
+    new_coarse, used, missing = apply_state_dict(
+        state.decoders["coarse"], coarse_sd)
+    assert not missing, f"decoder params without checkpoint values: {missing}"
+    assert used == set(coarse_sd), f"unconsumed: {set(coarse_sd) - used}"
+
+    middle_sd, fine_sd = surgery_middle_fine(mf_model)
+    for which, sd in (("middle", middle_sd), ("fine", fine_sd)):
+        newp, used, missing = apply_state_dict(state.decoders[which], sd)
+        assert not missing, f"{which}: params missing values: {missing}"
+        assert used == set(sd), f"{which}: unconsumed: {set(sd) - used}"
+
+    # end-to-end through load_pretrain: values land bit-exact
+    cfg["pretrained_decoders"] = {"coarse": str(coarse_pt),
+                                  "middle_fine": str(mf_pt)}
+    new_state = load_pretrain(cfg, spec, state, verbose=False)
+    for which in ("coarse", "middle", "fine"):
+        ref = state2.decoders[which]
+        got = new_state.decoders[which]
+        np.testing.assert_allclose(
+            np.asarray(got["pts_linears"][0]["w"]),
+            np.asarray(ref["pts_linears"][0]["w"]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(got["output_linear"]["b"]),
+            np.asarray(ref["output_linear"]["b"]), atol=1e-6)
+
+
 def test_pretrain_improves_first_frame_convergence():
     """Quantify what the self-pretrained decoder blobs buy (VERDICT r1
     next #8): identical first-frame mapping with pretrained vs random-init

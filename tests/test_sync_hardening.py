@@ -111,63 +111,79 @@ def test_loose_ate_comparable_to_strict(tmp_path):
 
 
 def test_coarse_merge_no_lost_updates(tmp_path):
-    """The coarse mapper owns only grid_coarse; concurrent merges from the
-    main mapper and the coarse mapper must never drop each other's writes
-    (slam.py merge block under _state_lock)."""
+    """The coarse mapper owns only grid_coarse; concurrent REAL map_one
+    calls from the main mapper and the coarse mapper must never drop each
+    other's writes (the slam._map_one merge block under _state_lock is the
+    code under test, not a re-implementation).
+
+    Invariant checked: after N interleaved rounds, the authoritative state
+    holds bit-exactly the LAST coarse-mapper output's grid_coarse AND the
+    last main-mapper output's other grids — even though each mapper's
+    optimize_map snapshot contains a stale copy of the other's grid."""
     from nice_slam_tpu.slam.slam import NiceSLAM
 
     cfg = _small_cfg(tmp_path, n_frames=4, sync_method="strict", coarse=True)
+    cfg["mapping"]["iters"] = 6
     args = argparse.Namespace(nice=True, input_folder=None, output=None)
     slam = NiceSLAM(cfg, args)
 
-    # Simulate the two mappers' concurrent publish paths directly: each
-    # "update" bumps its own grid by +1; after N rounds of interleaved
-    # merges from two threads, both counters must equal N (no lost update).
-    rounds = 200
-    errors = []
+    # bootstrap: first-frame mapping for both mappers (strict prologue)
+    _, c0, d0, p0 = slam.frame_reader[0]
+    slam.estimate_c2w_list[0] = np.asarray(p0)
+    slam.gt_c2w_list[0] = np.asarray(p0)
+    slam.map_one(0, c0, d0, p0, init=True)
+    slam.map_one(0, c0, d0, p0, init=True, coarse=True)
 
-    def main_mapper_updates():
+    # record each mapper's raw optimize_map outputs (pre-merge)
+    outputs = {"main": [], "coarse": []}
+    for name, mapper in (("main", slam.mapper), ("coarse", slam.coarse_mapper)):
+        orig = mapper.optimize_map
+
+        def wrapped(*a, _orig=orig, _name=name, **k):
+            new_state, cur, losses = _orig(*a, **k)
+            outputs[_name].append(new_state)
+            return new_state, cur, losses
+
+        mapper.optimize_map = wrapped
+
+    _, c1, d1, p1 = slam.frame_reader[1]
+    slam.estimate_c2w_list[1] = np.asarray(p1)
+    slam.gt_c2w_list[1] = np.asarray(p1)
+    coarse_after_init = np.asarray(slam.state.grids["grid_coarse"]).copy()
+
+    rounds, errors = 3, []
+    barrier = threading.Barrier(2)
+
+    def run_mapper(coarse):
         try:
             for _ in range(rounds):
-                with slam._state_lock:
-                    state = slam.state
-                new_grids = dict(state.grids)
-                new_grids["grid_fine"] = state.grids["grid_fine"] + 1.0
-                new_state = state._replace(grids=new_grids)
-                with slam._state_lock:
-                    # main-mapper merge: adopt everything but preserve the
-                    # authoritative coarse grid (slam.py:334-338)
-                    grids = dict(new_state.grids)
-                    grids["grid_coarse"] = slam.state.grids["grid_coarse"]
-                    slam.state = new_state._replace(grids=grids)
+                barrier.wait(timeout=300)
+                slam.map_one(1, c1, d1, p1, init=False, coarse=coarse)
         except Exception as e:  # pragma: no cover
             errors.append(e)
 
-    def coarse_mapper_updates():
-        try:
-            for _ in range(rounds):
-                with slam._state_lock:
-                    state = slam.state
-                new_coarse = state.grids["grid_coarse"] + 1.0
-                with slam._state_lock:
-                    # coarse merge: write only grid_coarse (slam.py:329-333)
-                    grids = dict(slam.state.grids)
-                    grids["grid_coarse"] = new_coarse
-                    slam.state = slam.state._replace(grids=grids)
-        except Exception as e:  # pragma: no cover
-            errors.append(e)
-
-    base_fine = np.asarray(slam.state.grids["grid_fine"]).copy()
-    base_coarse = np.asarray(slam.state.grids["grid_coarse"]).copy()
-    t1 = threading.Thread(target=main_mapper_updates)
-    t2 = threading.Thread(target=coarse_mapper_updates)
+    t1 = threading.Thread(target=run_mapper, args=(False,))
+    t2 = threading.Thread(target=run_mapper, args=(True,))
     t1.start(); t2.start(); t1.join(); t2.join()
     assert not errors, errors
+    assert len(outputs["main"]) == rounds and len(outputs["coarse"]) == rounds
 
-    dfine = np.asarray(slam.state.grids["grid_fine"]) - base_fine
-    dcoarse = np.asarray(slam.state.grids["grid_coarse"]) - base_coarse
-    np.testing.assert_allclose(dfine, rounds, atol=1e-4)
-    np.testing.assert_allclose(dcoarse, rounds, atol=1e-4)
+    final = slam.state
+    last_main = outputs["main"][-1]
+    last_coarse = outputs["coarse"][-1]
+    # the coarse grid must be the coarse mapper's final product...
+    np.testing.assert_array_equal(
+        np.asarray(final.grids["grid_coarse"]),
+        np.asarray(last_coarse.grids["grid_coarse"]))
+    # ...and the coarse mapper genuinely advanced its grid across the
+    # concurrent rounds (so the bit-equality above is a non-vacuous check
+    # that the main mapper's stale pass-through copy did not clobber it)
+    assert not np.array_equal(
+        np.asarray(final.grids["grid_coarse"]), coarse_after_init)
+    # every other grid is the main mapper's final product
+    for g in ("grid_middle", "grid_fine", "grid_color"):
+        np.testing.assert_array_equal(
+            np.asarray(final.grids[g]), np.asarray(last_main.grids[g]))
 
 
 def test_free_mode_completes_and_tracks(tmp_path):
