@@ -293,11 +293,20 @@ def sample_grid_feature(
     AABB, then border-clamped trilinear lookup.
 
     Args:
-        grid: (Nx, Ny, Nz, C).
+        grid: (Nx, Ny, Nz, C) dense array, or a spatially sharded
+            ``parallel.grid_sharding.ShardedGrid`` (x-slabs over a device
+            mesh) — the dispatch makes every consumer (tracker, renderer,
+            mapper, mesher) sharding-transparent.
         p_world: (N, 3) world coordinates.
         bound: (3, 2) scene AABB this grid spans.
     """
     from nice_slam_tpu.ops.geometry import normalize_3d_coordinate
 
+    if not isinstance(grid, jnp.ndarray) and hasattr(grid, "slabs"):
+        from nice_slam_tpu.parallel.grid_sharding import (
+            sharded_sample_grid_feature,
+        )
+
+        return sharded_sample_grid_feature(grid, p_world, bound, grid.mesh)
     p_nor = normalize_3d_coordinate(p_world, bound)
     return trilinear_interp(grid, p_nor)

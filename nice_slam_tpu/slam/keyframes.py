@@ -76,7 +76,14 @@ class KeyframeStore:
         self.arrays = a._replace(est_c2w=a.est_c2w.at[pos].set(jnp.asarray(c2w)))
 
     def gather_window(self, positions) -> Tuple[jnp.ndarray, ...]:
-        """Stack window keyframes: (colors, depths, est_c2w) for positions."""
-        idx = jnp.asarray(np.asarray(positions, np.int32))
+        """Stack window keyframes: (colors, depths, est_c2w) for positions.
+
+        ``positions`` may be a host list OR a device int array (the
+        device-side window selection) — either way the gather itself is a
+        pure device op and never syncs."""
+        if isinstance(positions, jnp.ndarray):
+            idx = positions.astype(jnp.int32)
+        else:
+            idx = jnp.asarray(np.asarray(positions, np.int32))
         a = self.arrays
         return a.colors[idx], a.depths[idx], a.est_c2w[idx]

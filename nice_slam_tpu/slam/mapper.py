@@ -27,6 +27,7 @@ rewriting.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -47,6 +48,13 @@ from nice_slam_tpu.slam.optim import GroupAdamState, group_adam_update, init_gro
 
 STAGE_INDEX = {"coarse": 0, "middle": 1, "fine": 2, "color": 3}
 LR_KEYS = ("decoders_lr", "coarse_lr", "middle_lr", "fine_lr", "color_lr")
+
+# Device-side overlap window selection (default on): the ranked-random
+# keyframe pick runs on device from the prefetched scores, so a mapping
+# call needs ZERO device->host syncs (a fetch costs 40-600 ms over a
+# remote tunnel, PERF.md r3).  NICE_SLAM_TPU_DEVICE_SELECT=0 restores the
+# host-side np.random selection.
+_DEVICE_SELECT = os.environ.get("NICE_SLAM_TPU_DEVICE_SELECT", "1") == "1"
 
 # jitted pose converters: the eager op-by-op versions cost dozens of host
 # dispatches per call (see slam/tracker.py note)
@@ -178,6 +186,30 @@ def _select_from_scores(
     eligible = [int(i) for i in np.nonzero(scores > 0.0)[0]]
     perm = rng.permutation(len(eligible))
     return [eligible[int(i)] for i in perm[:k]]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def device_select_positions(
+    scores: jnp.ndarray, n_kf: jnp.ndarray, key: jax.Array, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ON-DEVICE overlap window selection: random-rank the positive-overlap
+    keyframes (reference :222-228 semantics; jax PRNG instead of np) and
+    take ``k``.  Returns (positions (k,) int32, valid (k,) bool).
+
+    When fewer than ``k`` keyframes are eligible the surplus slots come
+    back with valid=False (their positions are clamped to 0 so gathers
+    stay in bounds); the mapping loss zero-weights those frames' rays.
+    This differs from the reference only in that rare shortfall case —
+    the reference shrinks the window instead, re-spreading the same pixel
+    budget over fewer frames."""
+    K = scores.shape[0]
+    pos = jnp.arange(K, dtype=jnp.int32)
+    eligible = (scores > 0.0) & (pos < n_kf - 1)
+    u = jax.random.uniform(key, (K,))
+    order = jnp.argsort(jnp.where(eligible, u, jnp.inf))
+    sel = order[:k].astype(jnp.int32)
+    valid = eligible[sel]
+    return jnp.where(valid, sel, 0), valid
 
 
 def select_keyframes(
@@ -367,6 +399,7 @@ def mapping_loss(
     depths: jnp.ndarray,
     fixed_c2w: jnp.ndarray,
     opt_cam_mask: jnp.ndarray,
+    frame_valid: jnp.ndarray,
     key: jax.Array,
     stage: str,
     mcfg: MapperConfig,
@@ -421,6 +454,10 @@ def mapping_loss(
         inside = t_exit >= gt_d
     else:
         inside = jnp.ones_like(gt_d, dtype=bool)
+    # device-selected windows may carry invalid (shortfall-padding) frames:
+    # their rays are weight-masked out of every loss term
+    inside = inside & jnp.repeat(frame_valid, pixs_per_image,
+                                 total_repeat_length=inside.shape[0])
 
     depth, uncertainty, color = render_batch_ray(
         spec, state, rays_o, rays_d, stage,
@@ -458,6 +495,7 @@ def optimize_map_jit(
     fixed_c2w: jnp.ndarray,
     cam_tensors: jnp.ndarray,
     opt_cam_mask: jnp.ndarray,
+    frame_valid: jnp.ndarray,
     grid_masks: Optional[Dict[str, jnp.ndarray]],
     lr_factor: jnp.ndarray,
     key: jax.Array,
@@ -510,13 +548,30 @@ def optimize_map_jit(
             loss, grads = jax.value_and_grad(
                 lambda gg: mapping_loss(
                     spec, gg, state, colors, depths, fixed_c2w, opt_cam_mask,
-                    k, _stage, mcfg, rcfg, pixs_per_image, mesh,
+                    frame_valid, k, _stage, mcfg, rcfg, pixs_per_image, mesh,
                 )
             )(g)
-            if grid_masks is not None:
-                for gk in list(grads.keys()):
-                    if gk.startswith("grid_") and gk in grid_masks:
-                        grads[gk] = grads[gk] * grid_masks[gk][..., None]
+            for gk in list(grads.keys()):
+                if not gk.startswith("grid_"):
+                    continue
+                gv = grads[gk]
+                if hasattr(gv, "slabs"):
+                    # spatially sharded grid: total the duplicated halo
+                    # planes (keeps both copies bitwise-consistent under
+                    # Adam) and shard the frustum mask with the slabs
+                    from nice_slam_tpu.parallel.grid_sharding import (
+                        fold_halo_grads,
+                        mask_to_slabs,
+                    )
+
+                    slabs = fold_halo_grads(gv.slabs)
+                    if grid_masks is not None and gk in grid_masks:
+                        m = mask_to_slabs(
+                            grid_masks[gk], gv.planes, gv.slabs.shape[0])
+                        slabs = slabs * m[..., None]
+                    grads[gk] = gv._replace(slabs)
+                elif grid_masks is not None and gk in grid_masks:
+                    grads[gk] = gv * grid_masks[gk][..., None]
             lrs = _stage_lrs(mcfg, _stage, lr_factor, g, it)
             g2, a2 = group_adam_update(g, grads, a, lrs, _active)
             return (g2, a2, it + 1), loss
@@ -671,15 +726,6 @@ class Mapper:
         if self._pending_selection is not None:
             self._pending_selection[2] = scores_host
 
-    def _consume_prefetched(self, frame_idx: int, n_kf: int):
-        pending, self._pending_selection = self._pending_selection, None
-        if pending is None:
-            return None
-        p_idx, p_nkf, scores = pending
-        if p_idx != frame_idx or p_nkf != n_kf:
-            return None  # stale prefetch (schedule changed); fall back
-        return np.asarray(scores)
-
     def optimize_map(
         self,
         state: SceneState,
@@ -712,29 +758,60 @@ class Mapper:
             frustum_feature_selection=self.frustum_feature_selection,
         )
         n_kf = len(keyframes)
-        prefetched = self._consume_prefetched(idx, n_kf)
-        if prefetched is not None:
-            selected = _select_from_scores(self.rng, mcfg, prefetched, n_kf)
+        pending, self._pending_selection = self._pending_selection, None
+        if pending is not None and (pending[0] != idx or pending[1] != n_kf):
+            pending = None  # stale prefetch (schedule changed); fall back
+        scores_pending = pending[2] if pending is not None else None
+
+        window_positions: Optional[List[int]] = None  # host-known positions
+        positions_dev = None        # device-selected keyframe positions
+        frame_valid = None          # per-window-slot validity (device path)
+        oldest_slot = None          # host int | device scalar (BA)
+        if (_DEVICE_SELECT and isinstance(scores_pending, jnp.ndarray)
+                and n_kf >= 2
+                and mcfg.keyframe_selection_method == "overlap"):
+            # fully on-device selection: no host sync anywhere in the call
+            k_needed = min(mcfg.mapping_window_size - 2, n_kf - 1)
+            sel, valid = device_select_positions(
+                scores_pending, jnp.asarray(n_kf), self._next_key(), k_needed)
+            positions_dev = jnp.concatenate(
+                [sel, jnp.array([n_kf - 1], jnp.int32)])
+            frame_valid = jnp.concatenate(
+                [valid, jnp.array([True, True])])  # last kf + current frame
+            F = k_needed + 2
+            if BA:
+                # oldest WINDOW pose stays fixed (reference :349-363);
+                # invalid slots are pushed past every real position so
+                # they can't win the argmin (the last-kf slot always can)
+                cand = jnp.concatenate(
+                    [jnp.where(valid, sel, n_kf),
+                     jnp.array([n_kf - 1], jnp.int32)])
+                oldest_slot = jnp.argmin(cand)
         else:
-            selected = select_keyframes(
-                self.rng, mcfg, self._next_key(), cur_gt_color, cur_gt_depth,
-                cur_c2w, keyframes.arrays.est_c2w, n_kf,
-            )
-        # window = selected + last keyframe + current frame (reference :267-272)
-        window_positions = list(selected)
-        oldest_slot = None
-        if n_kf > 0:
-            window_positions.append(n_kf - 1)
-            oldest_pos = min(window_positions)
-            oldest_slot = window_positions.index(oldest_pos)
-        F = len(window_positions) + 1  # +1 for the current frame
+            if scores_pending is not None:
+                selected = _select_from_scores(
+                    self.rng, mcfg, np.asarray(scores_pending), n_kf)
+            else:
+                selected = select_keyframes(
+                    self.rng, mcfg, self._next_key(), cur_gt_color,
+                    cur_gt_depth, cur_c2w, keyframes.arrays.est_c2w, n_kf,
+                )
+            # window = selected + last keyframe + current (reference :267-272)
+            window_positions = list(selected)
+            if n_kf > 0:
+                window_positions.append(n_kf - 1)
+                oldest_pos = min(window_positions)
+                oldest_slot = window_positions.index(oldest_pos)
+            F = len(window_positions) + 1  # +1 for the current frame
 
         cur_color = jnp.asarray(cur_gt_color, jnp.float32)
         cur_depth = jnp.asarray(cur_gt_depth, jnp.float32)
         cur_c2w_j = jnp.asarray(cur_c2w, jnp.float32)
 
-        if window_positions:
-            kc, kd, kp = keyframes.gather_window(window_positions)
+        gather_positions = (positions_dev if positions_dev is not None
+                            else window_positions)
+        if F > 1:
+            kc, kd, kp = keyframes.gather_window(gather_positions)
             colors = jnp.concatenate([kc, cur_color[None]], axis=0)
             depths = jnp.concatenate([kd, cur_depth[None]], axis=0)
             fixed_c2w = jnp.concatenate([kp, cur_c2w_j[None]], axis=0)
@@ -745,12 +822,18 @@ class Mapper:
 
         # camera tensors + optimizability mask (oldest fixed, reference :349-363)
         cam_tensors = _batched_tensor_from_pose(fixed_c2w)
-        opt_mask = np.zeros((F,), np.float32)
-        if BA:
-            opt_mask[:] = 1.0
-            if oldest_slot is not None:
-                opt_mask[oldest_slot] = 0.0
-        opt_mask_j = jnp.asarray(opt_mask)
+        if BA and positions_dev is not None:
+            opt_mask_j = (frame_valid.astype(jnp.float32)
+                          * (1.0 - jax.nn.one_hot(oldest_slot, F)))
+        else:
+            opt_mask = np.zeros((F,), np.float32)
+            if BA:
+                opt_mask[:] = 1.0
+                if oldest_slot is not None:
+                    opt_mask[oldest_slot] = 0.0
+            opt_mask_j = jnp.asarray(opt_mask)
+        frame_valid_j = (frame_valid if frame_valid is not None
+                         else jnp.ones((F,), bool))
 
         # frustum gradient masks (reference get_mask_from_c2w, :113-115:
         # grid_coarse gets an all-ones mask == no mask) are computed inside
@@ -760,8 +843,15 @@ class Mapper:
         grid_masks = None
 
         if self.save_selected_keyframes_info:
+            if window_positions is None:  # device path: opt-in record syncs
+                vmask = np.asarray(frame_valid[:-1])
+                info_positions = [int(p) for p, v
+                                  in zip(np.asarray(positions_dev), vmask)
+                                  if v]
+            else:
+                info_positions = window_positions
             infos = []
-            for slot, pos in enumerate(window_positions):
+            for pos in info_positions:
                 infos.append({
                     "idx": keyframes.frame_ids[pos],
                     "gt_c2w": np.asarray(keyframes.arrays.gt_c2w[pos]),
@@ -784,6 +874,11 @@ class Mapper:
         adam_carry = None
         g = 0
         chunk_losses = []
+        # spatially sharded grids own the mesh axis themselves (shard_map
+        # inside the grid lookup) — don't also shard the ray batch over it
+        ray_mesh = self.mesh
+        if any(hasattr(gr, "slabs") for gr in state.grids.values()):
+            ray_mesh = None
         # ONE key per logical optimize_map call: per-iteration keys are
         # folded from (call key, global iteration) inside the jit, so every
         # chunk samples exactly what the unsplit call would
@@ -793,9 +888,10 @@ class Mapper:
                 vis_hook(g, cur_state)
             cur_state, cur_cams, losses, adam_carry = optimize_map_jit(
                 self.spec, cur_state, colors, depths, fixed_c2w, cur_cams,
-                opt_mask_j, grid_masks, jnp.asarray(lr_factor, jnp.float32),
+                opt_mask_j, frame_valid_j, grid_masks,
+                jnp.asarray(lr_factor, jnp.float32),
                 call_key, adam_carry, mcfg, self.rcfg, cplan, BA,
-                pixs_per_image, self.mesh,
+                pixs_per_image, ray_mesh,
             )
             # losses stay ON DEVICE: converting here would block the host on
             # the whole mapping call, serializing the coarse-mapper dispatch
@@ -809,13 +905,22 @@ class Mapper:
 
         cur_out = None
         if BA:
-            # write back window poses (reference :521-536)
+            # write back window poses (reference :521-536) — BA inherently
+            # syncs here (the updated poses are host bookkeeping)
             cams_np = np.asarray(new_cams)
-            for slot, pos in enumerate(window_positions):
-                if slot == oldest_slot:
-                    continue
-                c2w = _tensor_to_c2w44(cams_np[slot])
-                keyframes.set_est_c2w(pos, c2w)
+            if window_positions is None:  # device-selected window
+                window_positions = [int(p) for p in np.asarray(positions_dev)]
+                vmask = np.asarray(frame_valid[:-1])
+                oldest_slot = int(np.asarray(oldest_slot))
+                for slot, pos in enumerate(window_positions):
+                    if slot == oldest_slot or not vmask[slot]:
+                        continue
+                    keyframes.set_est_c2w(pos, _tensor_to_c2w44(cams_np[slot]))
+            else:
+                for slot, pos in enumerate(window_positions):
+                    if slot == oldest_slot:
+                        continue
+                    keyframes.set_est_c2w(pos, _tensor_to_c2w44(cams_np[slot]))
             cur_out = _tensor_to_c2w44(cams_np[-1])
         return new_state, cur_out, losses
 

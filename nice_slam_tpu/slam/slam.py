@@ -40,7 +40,9 @@ from nice_slam_tpu.slam.tracker import (
     TrackerConfig,
     c2w_from_candidate,
     const_speed_init,
+    device_init_tensor,
     pose34_device,
+    pose44_device,
     tensor_from_c2w,
     track_frame,
 )
@@ -93,6 +95,15 @@ class NiceSLAM:
         self.spec, self.state = build_scene(cfg, nice=self.nice)
         if self.nice:
             self.state = load_pretrain(cfg, self.spec, self.state, self.verbose)
+        # spatial grid sharding (scenes beyond one chip's HBM): engaged by
+        # NICE_SLAM_TPU_SPATIAL=1 or automatically when the dense grids
+        # exceed the HBM budget on a multi-device mesh; every downstream
+        # consumer is sharding-transparent via the grid-type dispatch in
+        # ops.interp.sample_grid_feature
+        from nice_slam_tpu.parallel.grid_sharding import maybe_shard_state
+
+        self.state, self.spatial_mesh = maybe_shard_state(
+            self.state, verbose=self.verbose)
 
         # data
         self.frame_reader = get_dataset(cfg, args, self.scale)
@@ -101,6 +112,12 @@ class NiceSLAM:
         # pose lists (host side; published to the checkpoint)
         self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
         self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        # DEVICE-resident estimate list (strict fast path): per-frame pose
+        # results never cross the device->host boundary on the hot loop —
+        # one fetch over a remote tunnel costs 40-600 ms (PERF.md r3), so
+        # the host mirror above is flushed lazily at ckpt/vis/mesh/end
+        # boundaries instead of every frame
+        self._est_dev = None
         self.idx = 0               # latest tracked frame
         self.mapping_idx = -1      # latest mapped frame
         self.mapping_cnt = 0
@@ -178,6 +195,11 @@ class NiceSLAM:
         state, est, gt, kf_list, idx = load_checkpoint(
             ckpts[-1], self.spec, self.state
         )
+        if self.spatial_mesh is not None:
+            from nice_slam_tpu.parallel.grid_sharding import shard_scene_grids
+
+            state = state._replace(
+                grids=shard_scene_grids(state.grids, self.spatial_mesh))
         with self._state_lock:
             self.state = state
         n = min(len(est), self.n_img)
@@ -211,6 +233,39 @@ class NiceSLAM:
         print(f"INFO: The checkpoint can be found under {self.output}/ckpt/")
 
     # ------------------------------------------------------------------
+    # Device-resident pose list (strict fast path)
+    # ------------------------------------------------------------------
+
+    def enable_device_pose_list(self) -> None:
+        """Engage the device-resident estimate list (seeded from the host
+        mirror).  _run_strict does this automatically; external drivers of
+        track_one/map_one may opt in."""
+        self._est_dev = jnp.asarray(self.estimate_c2w_list)
+
+    def _flush_est(self) -> None:
+        """Synchronize the host estimate_c2w_list mirror from the device
+        list (one fetch; called at ckpt/vis/mesh/end boundaries only)."""
+        if self._est_dev is not None:
+            self.estimate_c2w_list[:] = np.asarray(self._est_dev)
+
+    def _record_est(self, idx: int, c2w) -> None:
+        """Record a tracked/updated pose.  Host values land in both lists;
+        device values stay on device (mirror flushed lazily)."""
+        if isinstance(c2w, np.ndarray):
+            self.estimate_c2w_list[idx] = c2w
+            if self._est_dev is not None:
+                self._est_dev = self._est_dev.at[idx].set(jnp.asarray(c2w))
+        else:
+            self._est_dev = self._est_dev.at[idx].set(c2w)
+
+    def _cur_est(self, idx: int):
+        """The current pose of ``idx`` for mapping: device slice on the
+        fast path, host copy otherwise."""
+        if self._est_dev is not None:
+            return self._est_dev[idx]
+        return self.estimate_c2w_list[idx].copy()
+
+    # ------------------------------------------------------------------
     # Tracking
     # ------------------------------------------------------------------
 
@@ -238,8 +293,13 @@ class NiceSLAM:
             if will_map:
                 # nothing to overlap with, but dispatching early still hides
                 # the device latency behind map_one's host-side prologue
-                self.mapper.prefetch_selection(
+                sc = self.mapper.prefetch_selection(
                     idx, gt_color, gt_depth, c2w[:3], self.keyframes)
+                if sc is not None:
+                    try:
+                        sc.copy_to_host_async()
+                    except Exception:
+                        pass
             if idx % self.tracking_visualizer.freq == 0 and not (
                 idx == 0 and self.cfg["mapping"]["no_vis_on_first_frame"]
             ):
@@ -247,12 +307,25 @@ class NiceSLAM:
                     state = self.state
                 self.tracking_visualizer.vis(idx, 0, gt_depth, gt_color, c2w, state)
         else:
-            pre_c2w = self.estimate_c2w_list[idx - 1]
-            if self.tcfg.const_speed_assumption and idx - 2 >= 0:
-                init_c2w = const_speed_init(pre_c2w, self.estimate_c2w_list[idx - 2])
+            fast = self._est_dev is not None
+            if fast:
+                # init tensor computed on device from the device pose list
+                # — the per-frame pose fetch (40-600 ms over a remote
+                # tunnel) disappears from the loop entirely
+                use_cs = bool(self.tcfg.const_speed_assumption and idx >= 2)
+                init_tensor = device_init_tensor(
+                    self._est_dev[idx - 1],
+                    self._est_dev[max(idx - 2, 0)],
+                    jnp.asarray(use_cs),
+                )
             else:
-                init_c2w = pre_c2w
-            init_tensor = tensor_from_c2w(init_c2w)
+                pre_c2w = self.estimate_c2w_list[idx - 1]
+                if self.tcfg.const_speed_assumption and idx - 2 >= 0:
+                    init_c2w = const_speed_init(
+                        pre_c2w, self.estimate_c2w_list[idx - 2])
+                else:
+                    init_c2w = pre_c2w
+                init_tensor = tensor_from_c2w(init_c2w)
 
             with self._state_lock:
                 state = self.state  # functional snapshot (free)
@@ -268,7 +341,19 @@ class NiceSLAM:
                 scores_dev = self.mapper.prefetch_selection(
                     idx, gt_color, gt_depth, pose34_device(candidate),
                     self.keyframes)
-            if scores_dev is not None:
+            if fast:
+                c2w = pose44_device(candidate)
+                if scores_dev is not None:
+                    from nice_slam_tpu.slam.mapper import _DEVICE_SELECT
+
+                    if not _DEVICE_SELECT:
+                        # host-side selection will consume the scores:
+                        # start their D2H now so it overlaps the dispatches
+                        try:
+                            scores_dev.copy_to_host_async()
+                        except Exception:
+                            pass
+            elif scores_dev is not None:
                 c2w34, scores = jax.device_get(
                     (pose34_device(candidate), scores_dev))
                 self.mapper.store_prefetched_scores(scores)
@@ -300,7 +385,7 @@ class NiceSLAM:
                         idx, it, gt_depth, gt_color, pre_step, state
                     )
 
-        self.estimate_c2w_list[idx] = c2w
+        self._record_est(idx, c2w)
         self.gt_c2w_list[idx] = np.asarray(gt_c2w, np.float32)
         self.idx = idx
         return c2w
@@ -344,7 +429,7 @@ class NiceSLAM:
             lr_factor = cfg_m["lr_first_factor"]
             num_joint_iters = cfg_m["iters_first"]
 
-        cur_c2w = self.estimate_c2w_list[idx].copy()
+        cur_c2w = self._cur_est(idx)
         num_joint_iters = num_joint_iters // outer_joint_iters
 
         # per-iteration residual panels inside the optimization (reference
@@ -355,6 +440,7 @@ class NiceSLAM:
                 and idx % self.mapping_visualizer.freq == 0
                 and not (idx == 0 and cfg_m["no_vis_on_first_frame"])):
             vis_every = self.mapping_visualizer.inside_freq
+            self._flush_est()  # panels render at the host-mirrored pose
 
             def vis_hook(it, st):
                 self.mapping_visualizer.vis(
@@ -388,7 +474,7 @@ class NiceSLAM:
 
             if BA and cur_out is not None:
                 cur_c2w = cur_out
-                self.estimate_c2w_list[idx] = cur_c2w
+                self._record_est(idx, cur_c2w)
 
             if outer == outer_joint_iters - 1:
                 if (idx % self.mcfg.keyframe_every == 0 or idx == self.n_img - 2) \
@@ -405,6 +491,7 @@ class NiceSLAM:
         if not coarse:
             if ((not (idx == 0 and cfg_m["no_log_on_first_frame"]))
                     and idx % cfg_m["ckpt_freq"] == 0) or idx == self.n_img - 1:
+                self._flush_est()
                 self.logger.log(idx, self.state, self.estimate_c2w_list,
                                 self.gt_c2w_list, self.keyframes.frame_ids,
                                 selected_keyframes=self.mapper.selected_keyframes)
@@ -430,6 +517,7 @@ class NiceSLAM:
     def _mesh(self, path: str, idx: int, eval_rec: bool = False) -> None:
         _t0 = time.perf_counter()
         try:
+            self._flush_est()  # culling uses the host pose mirror
             with self._state_lock:
                 state = self.state
             self.mesher.get_mesh(
@@ -455,6 +543,7 @@ class NiceSLAM:
             self._run_strict()
         else:
             self._run_threaded()
+        self._flush_est()
         self.timings["total_s"] = time.perf_counter() - t0
         self.timings["frames"] = self.n_img - self._start_idx
         if self.timings["frames"] > 0:
@@ -474,11 +563,13 @@ class NiceSLAM:
         workers, src/Tracker.py:64-65)."""
         from nice_slam_tpu.utils.datasets import Prefetcher
 
+        # engage the device-resident pose list (covers resumed poses)
+        self.enable_device_pose_list()
         prefetch = Prefetcher(self.frame_reader, depth=3,
                               start=self._start_idx, to_device=True)
         for idx, gt_color, gt_depth, gt_c2w in prefetch:
             if idx == 0:
-                self.estimate_c2w_list[0] = np.asarray(gt_c2w)
+                self._record_est(0, np.asarray(gt_c2w, np.float32))
                 self.gt_c2w_list[0] = np.asarray(gt_c2w)
                 self.map_one(0, gt_color, gt_depth, gt_c2w, init=True)
                 if self.coarse_mapper is not None:

@@ -64,6 +64,13 @@ class TrackerConfig:
     const_speed_assumption: bool
     gt_camera: bool
     nice: bool
+    # opt-in coarse-to-fine step sizing (OFF by default — reference parity):
+    # the first cf_iters iterations run at cf_lr_mult x lr, taking large
+    # steps toward the basin before the stock-LR refinement.  Extends the
+    # per-frame-motion operating envelope (RESULTS.md tracking-envelope
+    # curve); enable via tracking: {cf_iters: N, cf_lr_mult: M}.
+    cf_iters: int = 0
+    cf_lr_mult: float = 1.0
 
     @staticmethod
     def from_cfg(cfg, cam, nice: bool) -> "TrackerConfig":
@@ -78,6 +85,8 @@ class TrackerConfig:
             use_color_in_tracking=t["use_color_in_tracking"],
             const_speed_assumption=t["const_speed_assumption"],
             gt_camera=t["gt_camera"], nice=nice,
+            cf_iters=int(t.get("cf_iters", 0)),
+            cf_lr_mult=float(t.get("cf_lr_mult", 1.0)),
         )
 
 
@@ -163,19 +172,25 @@ def track_frame(
 
     adam0 = plain_adam_init(init_tensor)
 
-    def step(carry, k):
+    def step(carry, inp):
+        k, it = inp
         cam, adam = carry
         loss, g = jax.value_and_grad(
             lambda c: tracking_loss(
                 spec, state, c, gt_color, gt_depth, k, tcfg, rcfg
             )
         )(cam)
-        cam2, adam2 = plain_adam_update(cam, g, adam, lr)
+        # coarse-to-fine: boosted LR for the first cf_iters iterations
+        # (no-op at the reference-parity defaults cf_iters=0/mult=1)
+        lr_it = lr * jnp.where(it < tcfg.cf_iters, tcfg.cf_lr_mult, 1.0)
+        cam2, adam2 = plain_adam_update(cam, g, adam, lr_it)
         # candidate recorded post-step, scored by pre-step loss (see module doc)
         return (cam2, adam2), (loss, cam2)
 
     keys = jax.random.split(key, tcfg.iters)
-    (cam_final, _), (losses, cams) = jax.lax.scan(step, (init_tensor, adam0), keys)
+    its = jnp.arange(tcfg.iters, dtype=jnp.int32)
+    (cam_final, _), (losses, cams) = jax.lax.scan(
+        step, (init_tensor, adam0), (keys, its))
     best = jnp.argmin(losses)
     candidate = cams[best]
     return candidate, losses, cams, cam_final
@@ -190,6 +205,26 @@ def const_speed_init(
         return pre_c2w
     delta = pre_c2w @ np.linalg.inv(pre_pre_c2w)
     return delta @ pre_c2w
+
+
+@jax.jit
+def device_init_tensor(pre_c2w: jnp.ndarray, pre_pre_c2w: jnp.ndarray,
+                       use_const_speed: jnp.ndarray) -> jnp.ndarray:
+    """Tracking-init camera tensor computed entirely ON DEVICE from the
+    device-resident pose list (the strict loop's fast path: no host fetch
+    of the previous poses).  ``use_const_speed`` selects the constant-speed
+    extrapolation vs plain previous-pose init."""
+    delta = pre_c2w @ jnp.linalg.inv(pre_pre_c2w)
+    init = jnp.where(use_const_speed, delta @ pre_c2w, pre_c2w)
+    return tensor_from_pose(init)
+
+
+@jax.jit
+def pose44_device(candidate: jnp.ndarray) -> jnp.ndarray:
+    """7-vector -> (4, 4) pose with homogeneous row, ON DEVICE."""
+    c2w = pose_from_tensor(candidate)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
+    return jnp.concatenate([c2w, bottom], axis=0)
 
 
 def c2w_from_candidate(candidate: jnp.ndarray) -> np.ndarray:

@@ -135,9 +135,16 @@ class Logger:
         selected_keyframes=None,
     ) -> str:
         path = os.path.join(self.ckptsdir, f"{idx:05d}.tar")
+        grids = state.grids
+        if any(hasattr(g, "slabs") for g in grids.values()):
+            # spatially sharded store: checkpoints stay dense/reference-
+            # compatible (the export boundary materializes each grid once)
+            from nice_slam_tpu.parallel.grid_sharding import dense_grids
+
+            grids = dense_grids(grids)
         c = {
             name: grid_to_torch_layout(np.asarray(grid))
-            for name, grid in state.grids.items()
+            for name, grid in grids.items()
         }
         payload = {
             "c": c,

@@ -59,8 +59,14 @@ def _eval_chunk(spec, state, pts, stage, mesh=None):
     return eval_points(spec, state, pts, stage)
 
 
-def _query_mesh():
-    """The dp device mesh for lattice queries (None single-device)."""
+def _query_mesh(state=None):
+    """The dp device mesh for lattice queries (None single-device).
+
+    Spatially sharded grids own the mesh axis themselves (shard_map in the
+    grid lookup), so lattice points stay replicated in that mode."""
+    if state is not None and any(
+            hasattr(g, "slabs") for g in state.grids.values()):
+        return None
     if jax.device_count() > 1:
         from nice_slam_tpu.parallel.sharding import make_mesh
 
@@ -75,7 +81,7 @@ def chunked_eval(
     """Occupancy (raw[:, 3]) for a large point set, fixed-size device chunks."""
     n = len(points)
     out = np.zeros((n,), np.float32)
-    mesh = _query_mesh()
+    mesh = _query_mesh(state)
     for i in range(0, n, chunk):
         p = points[i : i + chunk]
         pad = chunk - len(p)
@@ -92,7 +98,7 @@ def chunked_color(
 ) -> np.ndarray:
     n = len(points)
     out = np.zeros((n, 3), np.float32)
-    mesh = _query_mesh()
+    mesh = _query_mesh(state)
     for i in range(0, n, chunk):
         p = points[i : i + chunk]
         pad = chunk - len(p)

@@ -186,3 +186,29 @@ def test_crop_size_resize():
     # overrides it — test via Replica-style path handled in BaseDataset:
     # (synthetic ignores crop_size by design; just assert config survives)
     assert cfg["cam"]["crop_size"] == [24, 32]
+
+
+def test_prefetcher_to_device_yields_identical_frames():
+    """Prefetcher(to_device=True) uploads frames from the worker thread;
+    values must be identical to direct dataset reads and land on device."""
+    import jax
+
+    from nice_slam_tpu.utils.datasets import Prefetcher
+
+    ds = Synthetic(_syn_cfg())
+    pf = Prefetcher(ds, depth=2, start=0, to_device=True)
+    try:
+        seen = 0
+        for idx, color, depth, c2w in pf:
+            assert isinstance(color, jax.Array)
+            assert isinstance(depth, jax.Array)
+            _, c_ref, d_ref, p_ref = ds[idx]
+            np.testing.assert_array_equal(np.asarray(color), c_ref)
+            np.testing.assert_array_equal(np.asarray(depth), d_ref)
+            np.testing.assert_array_equal(np.asarray(c2w), p_ref)
+            seen += 1
+            if seen >= 3:
+                break
+    finally:
+        pf.close()
+    assert seen == 3

@@ -205,3 +205,102 @@ def test_sharded_map_step_matches_dense(monkeypatch):
         got = np.asarray(unshard_grid(sg))
         want = np.asarray(new_p["grids"][k])
         np.testing.assert_allclose(got, want, atol=2e-5, err_msg=k)
+
+
+@needs8
+def test_sharded_optimize_map_matches_dense(monkeypatch):
+    """PRODUCT-PATH equivalence (VERDICT r2 next #2): the real
+    ``Mapper.optimize_map`` — staged middle->fine->color LRs, frustum
+    gradient masks, decoder groups, group-masked Adam — run on a spatially
+    sharded scene must match the dense run, with the sharded
+    representation preserved end to end and halo planes bitwise-consistent
+    after every update."""
+    from nice_slam_tpu.models.scene import build_scene
+    from nice_slam_tpu.ops import interp as interp_mod
+    from nice_slam_tpu.ops.render import RenderConfig
+    from nice_slam_tpu.parallel.grid_sharding import (
+        shard_scene_grids,
+        unshard_grid,
+    )
+    from nice_slam_tpu.slam.keyframes import KeyframeStore
+    from nice_slam_tpu.slam.mapper import Mapper, MapperConfig
+
+    # dense reference in plain-f32 autodiff: the production bf16 scatter
+    # buffer is a quantization the sharded path (exact autodiff through
+    # shard_map) deliberately lacks
+    monkeypatch.setattr(interp_mod, "_SEGSUM_MODE", "0")
+
+    H, W = 24, 32
+    cam = {"H": H, "W": W, "fx": 24.0, "fy": 24.0, "cx": 15.5, "cy": 11.5}
+    cfg = {
+        "dataset": "synthetic", "scale": 1, "occupancy": True,
+        "coarse": False,
+        "grid_len": {"coarse": 1.2, "middle": 0.6, "fine": 0.3,
+                     "color": 0.3, "bound_divisible": 0.6},
+        "model": {"c_dim": 8, "coarse_bound_enlarge": 2,
+                  "pos_embedding_method": "fourier"},
+        "data": {"dim": 3, "n_frames": 4, "room": [[-1.8, 1.8]] * 3},
+        "mapping": {
+            "bound": [[-1.8, 1.8]] * 3,
+            "pixels": 96, "iters": 6, "iters_first": 6, "every_frame": 1,
+            "keyframe_every": 1, "mapping_window_size": 3,
+            "middle_iter_ratio": 0.4, "fine_iter_ratio": 0.6,
+            "w_color_loss": 0.2, "BA": False, "BA_cam_lr": 0.001,
+            "fix_fine": False, "fix_color": False,
+            "frustum_feature_selection": True,
+            "keyframe_selection_method": "global",
+            "lr_first_factor": 5, "lr_factor": 1, "color_refine": False,
+            "stage": {s: {"decoders_lr": 0.001, "coarse_lr": 0.001,
+                          "middle_lr": 0.1, "fine_lr": 0.01,
+                          "color_lr": 0.01}
+                      for s in ("coarse", "middle", "fine", "color")},
+        },
+        "cam": dict(cam, png_depth_scale=1.0, crop_edge=0),
+        "rendering": {"N_samples": 8, "N_surface": 4, "N_importance": 0,
+                      "lindisp": False, "perturb": 0.0},
+    }
+    spec, state = build_scene(cfg, nice=True, seed=5)
+    rcfg = RenderConfig.from_cfg(cfg)
+    mcfg = MapperConfig.from_cfg(cfg, cam, nice=True)
+    mesh = _mesh()
+
+    from nice_slam_tpu.utils.datasets import Synthetic
+
+    ds = Synthetic(cfg)
+    _, c0, d0, p0 = ds[0]
+    _, c1, d1, p1 = ds[1]
+
+    results = {}
+    for kind in ("dense", "sharded"):
+        st = state
+        if kind == "sharded":
+            st = state._replace(grids=shard_scene_grids(state.grids, mesh))
+        mapper = Mapper(spec, mcfg, rcfg, seed=11)
+        store = KeyframeStore(3, H, W)
+        store.add(0, c0, d0, p0, p0)
+        new_state, _, losses = mapper.optimize_map(
+            st, 6, 1.0, 1, c1, d1, p1, store, np.asarray(p1), BA=False)
+        results[kind] = (new_state, np.asarray(losses))
+
+    dense_state, dense_losses = results["dense"]
+    shard_state, shard_losses = results["sharded"]
+    np.testing.assert_allclose(shard_losses, dense_losses, rtol=1e-4)
+
+    for k, sg in shard_state.grids.items():
+        assert hasattr(sg, "slabs"), f"{k} lost its sharded representation"
+        slabs = np.asarray(sg.slabs)
+        np.testing.assert_array_equal(
+            slabs[:-1, -1], slabs[1:, 0],
+            err_msg=f"{k}: halo planes diverged under Adam")
+        got = np.asarray(unshard_grid(sg))
+        want = np.asarray(dense_state.grids[k])
+        assert not np.array_equal(want, np.asarray(state.grids[k])), (
+            f"{k} never trained")
+        np.testing.assert_allclose(got, want, atol=5e-4, err_msg=k)
+
+    # decoder groups trained identically (replicated on both paths)
+    for dec in ("fine", "color"):
+        np.testing.assert_allclose(
+            np.asarray(shard_state.decoders[dec]["output_linear"]["w"]),
+            np.asarray(dense_state.decoders[dec]["output_linear"]["w"]),
+            atol=5e-4, err_msg=dec)

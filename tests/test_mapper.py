@@ -253,3 +253,37 @@ def test_chunked_optimize_map_equals_unsplit(tmp_path):
         np.testing.assert_array_equal(np.asarray(st_a.grids[k]),
                                       np.asarray(st_b.grids[k]),
                                       err_msg=k)
+
+
+def test_device_select_positions():
+    """On-device overlap window selection (mapper.device_select_positions):
+    eligible-only, distinct, in-range picks; shortfall slots come back
+    valid=False with in-bounds clamped positions."""
+    import jax
+
+    from nice_slam_tpu.slam.mapper import device_select_positions
+
+    # 9 candidate slots (capacity-1), n_kf=8 -> positions 0..6 scoreable
+    scores = jnp.asarray([0.5, 0.0, 0.2, 0.9, 0.1, 0.0, 0.3, 0.7, 0.4])
+    n_kf = jnp.asarray(8)
+    sel, valid = device_select_positions(scores, n_kf, jax.random.PRNGKey(0),
+                                         k=3)
+    sel, valid = np.asarray(sel), np.asarray(valid)
+    assert valid.all()
+    assert len(set(sel.tolist())) == 3
+    assert all(0 <= p < 7 for p in sel)
+    assert all(scores[p] > 0 for p in sel)
+    # positions 7,8 (>= n_kf-1) must never be picked even with scores
+    for seed in range(5):
+        s, v = device_select_positions(scores, n_kf,
+                                       jax.random.PRNGKey(seed), k=3)
+        assert np.asarray(s).max() < 7
+
+    # shortfall: only one eligible candidate, k=3
+    scores2 = jnp.asarray([0.0, 0.4, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    sel2, valid2 = device_select_positions(scores2, n_kf,
+                                           jax.random.PRNGKey(1), k=3)
+    sel2, valid2 = np.asarray(sel2), np.asarray(valid2)
+    assert valid2.sum() == 1
+    assert sel2[valid2][0] == 1
+    assert (sel2[~valid2] == 0).all()  # clamped, in-bounds

@@ -167,7 +167,7 @@ def test_sharded_map_call_matches_unsharded(monkeypatch):
     for name, mesh in [("single", None), ("sharded", make_mesh(8))]:
         new_state, _, losses, _ = optimize_map_jit(
             spec, state, colors, depths, fixed, cams,
-            jnp.zeros((F,), jnp.float32), None,
+            jnp.zeros((F,), jnp.float32), jnp.ones((F,), bool), None,
             jnp.asarray(1.0, jnp.float32), key, None, mcfg, rcfg, plan,
             False, 128, mesh,
         )
