@@ -241,11 +241,12 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
     from nice_slam_tpu.slam.slam import NiceSLAM
     from nice_slam_tpu.utils.datasets import Prefetcher
 
-    # warmup covers frame-0 init (1500 iters) + the window-growth events
-    # (F = 2..5 each compile once); the timed window sees only the steady
-    # 5-frame-window shape
+    # warmup covers frame-0 init (1500 iters) + the window-growth events:
+    # with keyframe_every=5 the steady F=5 window first occurs at the
+    # frame-20 event, so the timed window starts after it — every shape it
+    # sees is compiled
     n_frames = 61 if on_tpu else 13
-    warm_end = 16 if on_tpu else 6          # timed window starts here
+    warm_end = 26 if on_tpu else 6          # timed window starts here
     last = (55 if on_tpu else 10)           # ...and ends after this frame
 
     cfg = copy.deepcopy(base_cfg)
@@ -264,6 +265,16 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
 
     args = argparse.Namespace(nice=True, input_folder=None, output=None)
     slam = NiceSLAM(cfg, args)
+    # the strict fast path: device-resident pose list (as _run_strict does)
+    slam.enable_device_pose_list()
+
+    # pre-render the procedural frames: synthesizing a 680x1200 RGB-D
+    # frame costs ~1 s of numpy on this 1-vCPU host, which would swamp the
+    # measurement — a real sensor/dataset streams frames at negligible
+    # decode cost, so frame SYNTHESIS is excluded from the timed window
+    # (disk IO and H2D upload remain included via the Prefetcher)
+    for i in range(n_frames):
+        slam.frame_reader[i]
 
     prefetch = Prefetcher(slam.frame_reader, depth=3, to_device=True)
     t0 = None
@@ -275,7 +286,7 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
                 jax.block_until_ready(slam.state.grids["grid_fine"])
                 t0 = time.perf_counter()
             if idx == 0:
-                slam.estimate_c2w_list[0] = np.asarray(c2w)
+                slam._record_est(0, np.asarray(c2w, np.float32))
                 slam.gt_c2w_list[0] = np.asarray(c2w)
                 slam.map_one(0, color, depth, c2w, init=True)
                 if slam.coarse_mapper is not None:

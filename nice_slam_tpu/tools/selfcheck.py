@@ -89,6 +89,22 @@ def main() -> None:
         "--imap", action="store_true",
         help="run the iMAP* single-MLP model family instead of NICE "
              "(reference run.py --imap)")
+    parser.add_argument(
+        "--keyframe_every", type=int, default=None,
+        help="override mapping.keyframe_every: the iMAP* forgetting "
+             "analysis lever (RESULTS.md).  The reference's 50 is tuned "
+             "for 2000-frame Replica tours (~40 keyframes); a compressed "
+             "150-frame tour at the same angular coverage gets only 3, "
+             "starving the single-MLP replay buffer.")
+    parser.add_argument(
+        "--no_pretrain", action="store_true",
+        help="skip the pretrained ConvONet decoder import (scratch init): "
+             "the pretrained-vs-scratch A/B lever (RESULTS.md)")
+    parser.add_argument(
+        "--record", type=str, default=None,
+        help="merge the summary into this JSON file under a key derived "
+             "from the run kind (tracked/gt_tour/imap...); "
+             "tests/test_quality_gates.py gates on the recorded values")
     args = parser.parse_args()
 
     import jax
@@ -128,6 +144,10 @@ def main() -> None:
     cfg["meshing"]["eval_rec"] = True
     if args.gt_camera:
         cfg["tracking"]["gt_camera"] = True
+    if args.no_pretrain:
+        cfg["pretrained_decoders"] = {"coarse": "", "middle_fine": ""}
+    if args.keyframe_every is not None:
+        cfg["mapping"]["keyframe_every"] = args.keyframe_every
 
     ns = argparse.Namespace(nice=not args.imap, input_folder=None,
                             output=None)
@@ -169,6 +189,22 @@ def main() -> None:
         "timings": slam.timings,
     }
     print(json.dumps(summary))
+
+    if args.record:
+        kind = "imap" if args.imap else ("gt_tour" if args.gt_camera
+                                         else "tracked")
+        if args.no_pretrain:
+            kind += "_scratch"
+        if args.keyframe_every is not None:
+            kind += f"_kf{args.keyframe_every}"
+        book = {}
+        if os.path.exists(args.record):
+            with open(args.record) as f:
+                book = json.load(f)
+        book[kind] = summary
+        with open(args.record, "w") as f:
+            json.dump(book, f, indent=1, sort_keys=True)
+        print(f"INFO: recorded '{kind}' into {args.record}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,97 @@
+"""Quality regression gates at ACHIEVED levels (VERDICT r2 next #3, #5, #7).
+
+``python -m nice_slam_tpu.tools.selfcheck --record QUALITY.json`` (and the
+``--gt_camera --frames 150 --orbit_radians 6.283`` / ``--imap`` variants,
+plus ``tools.track_envelope --record QUALITY.json``) runs on the real TPU
+(~8 min each) and records its metrics; this gate pins each recorded run
+kind to its achieved quality so a 1.5-2x regression ships a red suite, not
+a green one.  Bounds sit between the achieved value and ~1.5x of it —
+loose enough for RNG/selection variance (the orbit seed is fixed), tight
+enough that a real quality regression trips them.
+
+Achieved (round 3, RESULTS.md):
+  * tracked 30-frame sweep:   ATE 4.35 cm        -> gate 6.5 cm
+  * gt-camera 150-frame tour: acc 0.86 cm        -> gate 1.5 cm
+                              depth-L1 0.19 cm   -> gate 0.5 cm
+                              completion 0.83 cm -> gate 1.5 cm
+  * iMAP* tour:               acc 6.7 cm         -> gate 10 cm
+                              depth-L1 9.6 cm    -> gate 15 cm
+"""
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+QUALITY = os.path.join(ROOT, "QUALITY.json")
+
+GATES = {
+    "tracked": {"ate_rmse_cm": ("<=", 6.5)},
+    "gt_tour": {"accuracy_cm": ("<=", 1.5),
+                "completion_cm": ("<=", 1.5),
+                "depth_l1_cm": ("<=", 0.5),
+                "completion_ratio_pct": (">=", 98.0)},
+    "imap": {"accuracy_cm": ("<=", 10.0),
+             "depth_l1_cm": ("<=", 15.0)},
+}
+
+
+def _book():
+    if not os.path.exists(QUALITY):
+        pytest.skip("QUALITY.json not recorded yet (run tools.selfcheck "
+                    "--record QUALITY.json on the TPU)")
+    with open(QUALITY) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("kind", sorted(GATES))
+def test_quality_floor(kind):
+    book = _book()
+    if kind not in book:
+        pytest.skip(f"'{kind}' not recorded in QUALITY.json")
+    rec = book[kind]
+    for metric, (op, bound) in GATES[kind].items():
+        val = rec.get(metric)
+        assert val is not None, f"{kind}: {metric} missing/NaN in record"
+        if op == "<=":
+            assert val <= bound, (
+                f"{kind}: {metric}={val} above the {bound} gate")
+        else:
+            assert val >= bound, (
+                f"{kind}: {metric}={val} below the {bound} gate")
+
+
+def test_pretrain_beats_scratch_on_tour():
+    """The self-pretrained decoder priors must help (or at least not hurt)
+    full-tour quality vs scratch init (VERDICT r2 next #6)."""
+    book = _book()
+    if "gt_tour" not in book or "gt_tour_scratch" not in book:
+        pytest.skip("pretrained-vs-scratch tour pair not recorded")
+    pre, scr = book["gt_tour"], book["gt_tour_scratch"]
+    assert pre["accuracy_cm"] <= scr["accuracy_cm"] * 1.15, (
+        "pretrained decoders made tour accuracy >15% worse than scratch")
+
+
+def test_tracking_envelope_cf_extends_range():
+    """The opt-in coarse-to-fine LR schedule must hold tracking together
+    at a per-frame motion where it measurably beats the default budget
+    (VERDICT r2 next #5)."""
+    book = _book()
+    if "envelope" not in book:
+        pytest.skip("tracking envelope not recorded")
+    rows = book["envelope"]["rows"]
+    by = {}
+    for r in rows:
+        by.setdefault(r["mode"], {})[r["deg_per_frame"]] = r["ate_rmse_cm"]
+    if "cf" not in by:
+        pytest.skip("cf mode not swept")
+    # at every motion level where the default diverges (>20 cm ATE) but cf
+    # holds (<10 cm), cf must keep doing so; and cf must extend the
+    # <10 cm operating envelope to at least as fast a motion as default
+    def max_ok(curve, bound=10.0):
+        ok = [d for d, a in curve.items() if a < bound]
+        return max(ok) if ok else 0.0
+    assert max_ok(by["cf"]) >= max_ok(by["default"]), (
+        f"cf envelope {max_ok(by['cf'])} deg/frame shrank below default "
+        f"{max_ok(by['default'])}")
