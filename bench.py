@@ -118,9 +118,13 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
 
-    def run_frame(i, k):
+    def run_frame(i, k, init):
+        """One tracking call CHAINED on the previous frame's candidate:
+        the axon runtime executes lazily and `block_until_ready` does not
+        force execution (measured: 8 chained 4096^3 matmuls "block" in
+        0.03 ms, PERF.md r3) — unchained timing loops are fiction.  Real
+        numbers need a dependency chain plus one terminal host FETCH."""
         _, color, depth, c2w = frames[i % len(frames)]
-        init = tensor_from_c2w(c2w)
         cand, losses, _, _ = track_frame(
             spec, state, init, jnp.asarray(color), jnp.asarray(depth), k,
             tcfg, rcfg,
@@ -135,9 +139,11 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
 
     # ---------------- tracking ----------------
+    cand = tensor_from_c2w(frames[0][3])
     for i in range(2):  # warmup (compile)
         key, k = jax.random.split(key)
-        jax.block_until_ready(run_frame(i, k))
+        cand = run_frame(i, k, cand)
+    np.asarray(cand)  # terminal fetch drains the warmup chain
 
     # median of several timing blocks: the remote-tunnel dispatch adds
     # run-to-run variance that a single block over-weights
@@ -146,11 +152,10 @@ def main() -> None:
     rates = []
     for _ in range(n_blocks):
         t0 = time.perf_counter()
-        out = None
         for i in range(n_bench):
             key, k = jax.random.split(key)
-            out = run_frame(i, k)
-        jax.block_until_ready(out)
+            cand = run_frame(i, k, cand)
+        np.asarray(cand)  # fetch, not block_until_ready (see run_frame)
         rates.append(n_bench / (time.perf_counter() - t0))
     track_fps = float(np.median(rates))
     t_track = 1.0 / track_fps
@@ -170,38 +175,46 @@ def main() -> None:
         store.add(j * 50, c, d, p, p)
     map_iters = cfg["mapping"]["iters"]
 
-    def run_map(i, coarse_too=True):
+    def run_map(st, i, coarse_too=True):
         """One mapping event as the strict SLAM loop runs it: the keyframe
         -overlap ranking is prefetched (the loop dispatches it behind the
         tracking scan, mapper.prefetch_selection), the main call is
         dispatched, and the coarse-mapper call (Replica defaults run BOTH
         every 5th frame, reference src/NICE_SLAM.py coarse process) is
         dispatched right behind it — optimize_map never syncs on device
-        results, so the mapping event is one uninterrupted dispatch chain."""
+        results, so the mapping event is one uninterrupted dispatch chain.
+        CHAINED on the previous event's state (see run_frame: unchained
+        timing loops under the lazy axon runtime are fiction)."""
         _, c, d, p = frames[4 + (i % 4)]
         mapper.prefetch_selection(200 + i, c, d, p[:3], store)
         new_state, _, losses = mapper.optimize_map(
-            state, map_iters, 1.0, 200 + i, c, d, p, store, p, BA=False,
+            st, map_iters, 1.0, 200 + i, c, d, p, store, p, BA=False,
         )
         if coarse_too:
-            _, _, closs = coarse_mapper.optimize_map(
-                state, map_iters, 1.0, 200 + i, c, d, p, store, p, BA=False,
+            new_state, _, closs = coarse_mapper.optimize_map(
+                new_state, map_iters, 1.0, 200 + i, c, d, p, store, p,
+                BA=False,
             )
-            return losses, closs
-        return (losses,)
+        return new_state
 
-    jax.block_until_ready(run_map(0))  # warmup (compile)
+    def drain(st):
+        # terminal fetch of a final-state sliver forces the whole chain
+        np.asarray(st.grids["grid_fine"][..., 0, 0])
+
+    drain(run_map(state, 0))  # warmup (compile)
     n_map = 4 if on_tpu else 1
+    st = state
     t0 = time.perf_counter()
     for i in range(n_map):
-        out = run_map(1 + i, coarse_too=False)
-    jax.block_until_ready(out)
+        st = run_map(st, 1 + i, coarse_too=False)
+    drain(st)
     t_map = (time.perf_counter() - t0) / n_map
 
+    st = state
     t0 = time.perf_counter()
     for i in range(n_map):
-        out = run_map(1 + i)
-    jax.block_until_ready(out)
+        st = run_map(st, 1 + i)
+    drain(st)
     t_map_full = (time.perf_counter() - t0) / n_map
 
     # additive lower bound (the round-2 formula; kept for comparability)
@@ -282,8 +295,10 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
     try:
         for idx, color, depth, c2w in prefetch:
             if idx == warm_end:
-                # drain the device queue so the window starts clean
-                jax.block_until_ready(slam.state.grids["grid_fine"])
+                # drain the device queue so the window starts clean (FETCH
+                # a sliver — block_until_ready does not force execution
+                # under the lazy axon runtime, PERF.md r3)
+                np.asarray(slam.state.grids["grid_fine"][..., 0, 0])
                 t0 = time.perf_counter()
             if idx == 0:
                 slam._record_est(0, np.asarray(c2w, np.float32))
@@ -308,8 +323,8 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
         prefetch.close()
     if t0 is None or frames_timed == 0:
         return None
-    jax.block_until_ready((slam.state.grids["grid_fine"],
-                           slam.state.grids["grid_coarse"]))
+    np.asarray(slam.state.grids["grid_fine"][..., 0, 0])
+    np.asarray(slam.state.grids["grid_coarse"][..., 0, 0])
     return frames_timed / (time.perf_counter() - t0)
 
 

@@ -11,8 +11,22 @@ from __future__ import annotations
 
 from typing import List, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@jax.jit
+def _add_jit(arrays: "KeyframeArrays", i, color, depth, est_c2w, gt_c2w):
+    """Admit one keyframe as ONE compiled module (4 eager .at[].set calls
+    would be 4 module executions, each paying fixed per-module scheduling
+    overhead over a remote-tunnel device — PERF.md r3)."""
+    return KeyframeArrays(
+        colors=arrays.colors.at[i].set(color),
+        depths=arrays.depths.at[i].set(depth),
+        est_c2w=arrays.est_c2w.at[i].set(est_c2w),
+        gt_c2w=arrays.gt_c2w.at[i].set(gt_c2w),
+    )
 
 
 class KeyframeArrays(NamedTuple):
@@ -62,12 +76,12 @@ class KeyframeStore:
         i = len(self.frame_ids)
         if i >= self.capacity:
             self._grow()
-        a = self.arrays
-        self.arrays = KeyframeArrays(
-            colors=a.colors.at[i].set(jnp.asarray(color, jnp.float32)),
-            depths=a.depths.at[i].set(jnp.asarray(depth, jnp.float32)),
-            est_c2w=a.est_c2w.at[i].set(jnp.asarray(est_c2w, jnp.float32)),
-            gt_c2w=a.gt_c2w.at[i].set(jnp.asarray(gt_c2w, jnp.float32)),
+        self.arrays = _add_jit(
+            self.arrays, i,
+            jnp.asarray(color, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(est_c2w, jnp.float32),
+            jnp.asarray(gt_c2w, jnp.float32),
         )
         self.frame_ids.append(frame_idx)
 

@@ -212,6 +212,75 @@ def device_select_positions(
     return jnp.where(valid, sel, 0), valid
 
 
+@partial(jax.jit, static_argnames=("k", "BA"))
+def prepare_window(
+    scores: jnp.ndarray,
+    n_kf: jnp.ndarray,
+    key: jax.Array,
+    kf_colors: jnp.ndarray,
+    kf_depths: jnp.ndarray,
+    kf_est: jnp.ndarray,
+    cur_color: jnp.ndarray,
+    cur_depth: jnp.ndarray,
+    cur_c2w: jnp.ndarray,
+    k: int,
+    BA: bool,
+):
+    """The whole mapping-window prologue as ONE compiled module: on-device
+    overlap selection, keyframe gathers, current-frame concat, camera
+    tensors, BA optimizability mask.  The eager version of this prologue
+    was ~12 tiny module executions per mapping event — each pays a fixed
+    scheduling overhead over a remote-tunnel device (PERF.md r3).
+
+    Returns (colors, depths, fixed_c2w, cam_tensors, opt_mask,
+    frame_valid, positions) with F = k + 2 window slots
+    (k selected + last keyframe + current frame)."""
+    F = k + 2
+    sel, valid = device_select_positions(scores, n_kf, key, k)
+    last = (n_kf - 1).astype(jnp.int32)[None]
+    positions = jnp.concatenate([sel, last])
+    frame_valid = jnp.concatenate([valid, jnp.array([True, True])])
+
+    colors = jnp.concatenate([kf_colors[positions], cur_color[None]])
+    depths = jnp.concatenate([kf_depths[positions], cur_depth[None]])
+    fixed_c2w = jnp.concatenate([kf_est[positions], cur_c2w[None]])
+    cam_tensors = jax.vmap(tensor_from_pose)(fixed_c2w)
+
+    if BA:
+        # oldest WINDOW pose stays fixed (reference :349-363); invalid
+        # slots are pushed past every real position so they can't win the
+        # argmin (the last-kf slot always can)
+        cand = jnp.concatenate([jnp.where(valid, sel, n_kf), last])
+        oldest = jnp.argmin(cand)
+        opt_mask = (frame_valid.astype(jnp.float32)
+                    * (1.0 - jax.nn.one_hot(oldest, F)))
+    else:
+        oldest = jnp.zeros((), jnp.int32)
+        opt_mask = jnp.zeros((F,), jnp.float32)
+    return (colors, depths, fixed_c2w, cam_tensors, opt_mask, frame_valid,
+            positions, oldest)
+
+
+@jax.jit
+def assemble_window(
+    positions: jnp.ndarray,
+    kf_colors: jnp.ndarray,
+    kf_depths: jnp.ndarray,
+    kf_est: jnp.ndarray,
+    cur_color: jnp.ndarray,
+    cur_depth: jnp.ndarray,
+    cur_c2w: jnp.ndarray,
+):
+    """Window assembly for HOST-selected positions as one compiled module
+    (the eager gather+concat+pose-tensor prologue was ~8 module
+    executions; see ``prepare_window`` for the launch-overhead rationale).
+    Returns (colors, depths, fixed_c2w, cam_tensors)."""
+    colors = jnp.concatenate([kf_colors[positions], cur_color[None]])
+    depths = jnp.concatenate([kf_depths[positions], cur_depth[None]])
+    fixed_c2w = jnp.concatenate([kf_est[positions], cur_c2w[None]])
+    return colors, depths, fixed_c2w, jax.vmap(tensor_from_pose)(fixed_c2w)
+
+
 def select_keyframes(
     rng: np.random.Generator,
     mcfg: MapperConfig,
@@ -770,23 +839,21 @@ class Mapper:
         if (_DEVICE_SELECT and isinstance(scores_pending, jnp.ndarray)
                 and n_kf >= 2
                 and mcfg.keyframe_selection_method == "overlap"):
-            # fully on-device selection: no host sync anywhere in the call
+            # fully on-device selection + window assembly, ONE module, no
+            # host sync anywhere in the call
             k_needed = min(mcfg.mapping_window_size - 2, n_kf - 1)
-            sel, valid = device_select_positions(
-                scores_pending, jnp.asarray(n_kf), self._next_key(), k_needed)
-            positions_dev = jnp.concatenate(
-                [sel, jnp.array([n_kf - 1], jnp.int32)])
-            frame_valid = jnp.concatenate(
-                [valid, jnp.array([True, True])])  # last kf + current frame
             F = k_needed + 2
-            if BA:
-                # oldest WINDOW pose stays fixed (reference :349-363);
-                # invalid slots are pushed past every real position so
-                # they can't win the argmin (the last-kf slot always can)
-                cand = jnp.concatenate(
-                    [jnp.where(valid, sel, n_kf),
-                     jnp.array([n_kf - 1], jnp.int32)])
-                oldest_slot = jnp.argmin(cand)
+            a = keyframes.arrays
+            (colors, depths, fixed_c2w, cam_tensors, opt_mask_j,
+             frame_valid, positions_dev, oldest_slot) = prepare_window(
+                scores_pending, jnp.asarray(n_kf), self._next_key(),
+                a.colors, a.depths, a.est_c2w,
+                jnp.asarray(cur_gt_color, jnp.float32),
+                jnp.asarray(cur_gt_depth, jnp.float32),
+                jnp.asarray(cur_c2w, jnp.float32),
+                k_needed, BA,
+            )
+            frame_valid_j = frame_valid
         else:
             if scores_pending is not None:
                 selected = _select_from_scores(
@@ -804,36 +871,31 @@ class Mapper:
                 oldest_slot = window_positions.index(oldest_pos)
             F = len(window_positions) + 1  # +1 for the current frame
 
-        cur_color = jnp.asarray(cur_gt_color, jnp.float32)
-        cur_depth = jnp.asarray(cur_gt_depth, jnp.float32)
-        cur_c2w_j = jnp.asarray(cur_c2w, jnp.float32)
+            cur_color = jnp.asarray(cur_gt_color, jnp.float32)
+            cur_depth = jnp.asarray(cur_gt_depth, jnp.float32)
+            cur_c2w_j = jnp.asarray(cur_c2w, jnp.float32)
 
-        gather_positions = (positions_dev if positions_dev is not None
-                            else window_positions)
-        if F > 1:
-            kc, kd, kp = keyframes.gather_window(gather_positions)
-            colors = jnp.concatenate([kc, cur_color[None]], axis=0)
-            depths = jnp.concatenate([kd, cur_depth[None]], axis=0)
-            fixed_c2w = jnp.concatenate([kp, cur_c2w_j[None]], axis=0)
-        else:
-            colors = cur_color[None]
-            depths = cur_depth[None]
-            fixed_c2w = cur_c2w_j[None]
+            if F > 1:
+                a = keyframes.arrays
+                colors, depths, fixed_c2w, cam_tensors = assemble_window(
+                    jnp.asarray(np.asarray(window_positions, np.int32)),
+                    a.colors, a.depths, a.est_c2w,
+                    cur_color, cur_depth, cur_c2w_j,
+                )
+            else:
+                colors = cur_color[None]
+                depths = cur_depth[None]
+                fixed_c2w = cur_c2w_j[None]
+                cam_tensors = _batched_tensor_from_pose(fixed_c2w)
 
-        # camera tensors + optimizability mask (oldest fixed, reference :349-363)
-        cam_tensors = _batched_tensor_from_pose(fixed_c2w)
-        if BA and positions_dev is not None:
-            opt_mask_j = (frame_valid.astype(jnp.float32)
-                          * (1.0 - jax.nn.one_hot(oldest_slot, F)))
-        else:
+            # optimizability mask (oldest fixed, reference :349-363)
             opt_mask = np.zeros((F,), np.float32)
             if BA:
                 opt_mask[:] = 1.0
                 if oldest_slot is not None:
                     opt_mask[oldest_slot] = 0.0
             opt_mask_j = jnp.asarray(opt_mask)
-        frame_valid_j = (frame_valid if frame_valid is not None
-                         else jnp.ones((F,), bool))
+            frame_valid_j = jnp.ones((F,), bool)
 
         # frustum gradient masks (reference get_mask_from_c2w, :113-115:
         # grid_coarse gets an all-ones mask == no mask) are computed inside

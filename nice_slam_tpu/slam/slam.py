@@ -40,9 +40,8 @@ from nice_slam_tpu.slam.tracker import (
     TrackerConfig,
     c2w_from_candidate,
     const_speed_init,
-    device_init_tensor,
     pose34_device,
-    pose44_device,
+    tracked_frame_step,
     tensor_from_c2w,
     track_frame,
 )
@@ -170,6 +169,12 @@ class NiceSLAM:
                 pass
 
         self._track_key = jax.random.PRNGKey(int(cfg.get("seed", 42)))
+        # fixed base keys for the fused per-frame step: per-frame keys are
+        # fold_in(base, idx) INSIDE the jit, so no host key-split module
+        # rides the hot loop
+        self._track_base = jax.random.PRNGKey(
+            int(cfg.get("seed", 42)) ^ 0x5EED)
+        self._sel_base = jax.random.PRNGKey(int(cfg.get("seed", 42)) + 7919)
         self._start_idx = 0
         # per-stage wall-clock accounting (written to {output}/timings.json)
         self.timings = {"tracking_s": 0.0, "mapping_s": 0.0,
@@ -306,26 +311,72 @@ class NiceSLAM:
                 with self._state_lock:
                     state = self.state
                 self.tracking_visualizer.vis(idx, 0, gt_depth, gt_color, c2w, state)
+        elif self._est_dev is not None:
+            # FAST PATH: the whole per-frame device program (const-speed
+            # init from the device pose list, tracking scan, pose
+            # write-back, overlap ranking on mapping frames) is ONE
+            # compiled module — each module execution pays a fixed
+            # scheduling overhead over a remote-tunnel device (~5-15 ms
+            # measured), so launch count, not compute, bounded the loop
+            # (PERF.md r3)
+            use_cs = bool(self.tcfg.const_speed_assumption and idx >= 2)
+            n_kf = len(self.keyframes)
+            sel_cam = None
+            if (will_map and n_kf >= 2
+                    and self.mapper.mcfg.keyframe_selection_method
+                    == "overlap"):
+                m = self.mapper.mcfg
+                sel_cam = (m.H, m.W, m.fx, m.fy, m.cx, m.cy)
+            with self._state_lock:
+                state = self.state
+            (self._est_dev, candidate, c2w, init_tensor, losses, cams,
+             scores_dev) = tracked_frame_step(
+                self.spec, state, self._est_dev, idx,
+                jnp.asarray(gt_color), jnp.asarray(gt_depth),
+                self._track_base, self._sel_base,
+                self.keyframes.arrays.est_c2w, self.tcfg, self.rcfg,
+                use_cs, sel_cam,
+            )
+            if scores_dev is not None:
+                self.mapper._pending_selection = [idx, n_kf, scores_dev]
+                from nice_slam_tpu.slam.mapper import _DEVICE_SELECT
+
+                if not _DEVICE_SELECT:
+                    # host-side selection will consume the scores: start
+                    # their D2H now so it overlaps the dispatches
+                    try:
+                        scores_dev.copy_to_host_async()
+                    except Exception:
+                        pass
+            if self.verbose:
+                l = np.asarray(losses)
+                gt_tensor = np.asarray(tensor_from_c2w(np.asarray(gt_c2w)))
+                err0 = float(np.mean(np.abs(gt_tensor
+                                            - np.asarray(init_tensor))))
+                err1 = float(np.mean(np.abs(gt_tensor
+                                            - np.asarray(candidate))))
+                print(f"Tracking Frame {idx}  re-rendering loss: "
+                      f"{l[0]:.2f}->{l[-1]:.2f}  "
+                      f"camera tensor error: {err0:.4f}->{err1:.4f}")
+            if idx % self.tracking_visualizer.freq == 0:
+                cams_np = np.asarray(cams)
+                for it in range(0, self.tcfg.iters,
+                                self.tracking_visualizer.inside_freq):
+                    pre_step = init_tensor if it == 0 else cams_np[it - 1]
+                    self.tracking_visualizer.vis(
+                        idx, it, gt_depth, gt_color, pre_step, state
+                    )
+            self.gt_c2w_list[idx] = np.asarray(gt_c2w, np.float32)
+            self.idx = idx
+            return c2w
         else:
-            fast = self._est_dev is not None
-            if fast:
-                # init tensor computed on device from the device pose list
-                # — the per-frame pose fetch (40-600 ms over a remote
-                # tunnel) disappears from the loop entirely
-                use_cs = bool(self.tcfg.const_speed_assumption and idx >= 2)
-                init_tensor = device_init_tensor(
-                    self._est_dev[idx - 1],
-                    self._est_dev[max(idx - 2, 0)],
-                    jnp.asarray(use_cs),
-                )
+            pre_c2w = self.estimate_c2w_list[idx - 1]
+            if self.tcfg.const_speed_assumption and idx - 2 >= 0:
+                init_c2w = const_speed_init(
+                    pre_c2w, self.estimate_c2w_list[idx - 2])
             else:
-                pre_c2w = self.estimate_c2w_list[idx - 1]
-                if self.tcfg.const_speed_assumption and idx - 2 >= 0:
-                    init_c2w = const_speed_init(
-                        pre_c2w, self.estimate_c2w_list[idx - 2])
-                else:
-                    init_c2w = pre_c2w
-                init_tensor = tensor_from_c2w(init_c2w)
+                init_c2w = pre_c2w
+            init_tensor = tensor_from_c2w(init_c2w)
 
             with self._state_lock:
                 state = self.state  # functional snapshot (free)
@@ -341,19 +392,7 @@ class NiceSLAM:
                 scores_dev = self.mapper.prefetch_selection(
                     idx, gt_color, gt_depth, pose34_device(candidate),
                     self.keyframes)
-            if fast:
-                c2w = pose44_device(candidate)
-                if scores_dev is not None:
-                    from nice_slam_tpu.slam.mapper import _DEVICE_SELECT
-
-                    if not _DEVICE_SELECT:
-                        # host-side selection will consume the scores:
-                        # start their D2H now so it overlaps the dispatches
-                        try:
-                            scores_dev.copy_to_host_async()
-                        except Exception:
-                            pass
-            elif scores_dev is not None:
+            if scores_dev is not None:
                 c2w34, scores = jax.device_get(
                     (pose34_device(candidate), scores_dev))
                 self.mapper.store_prefetched_scores(scores)

@@ -207,24 +207,66 @@ def const_speed_init(
     return delta @ pre_c2w
 
 
-@jax.jit
-def device_init_tensor(pre_c2w: jnp.ndarray, pre_pre_c2w: jnp.ndarray,
-                       use_const_speed: jnp.ndarray) -> jnp.ndarray:
-    """Tracking-init camera tensor computed entirely ON DEVICE from the
-    device-resident pose list (the strict loop's fast path: no host fetch
-    of the previous poses).  ``use_const_speed`` selects the constant-speed
-    extrapolation vs plain previous-pose init."""
-    delta = pre_c2w @ jnp.linalg.inv(pre_pre_c2w)
-    init = jnp.where(use_const_speed, delta @ pre_c2w, pre_c2w)
-    return tensor_from_pose(init)
+@partial(jax.jit,
+         static_argnames=("tcfg", "rcfg", "spec", "use_cs", "sel_cam"))
+def tracked_frame_step(
+    spec,
+    state,
+    est_dev: jnp.ndarray,
+    idx: jnp.ndarray,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    track_base: jax.Array,
+    sel_base: jax.Array,
+    kf_c2ws: jnp.ndarray,
+    tcfg: "TrackerConfig",
+    rcfg,
+    use_cs: bool,
+    sel_cam: Optional[Tuple[int, int, float, float, float, float]],
+):
+    """The WHOLE per-tracked-frame device program as ONE compiled module.
 
+    Over a remote-tunnel device every module execution pays a fixed
+    scheduling overhead (~5-15 ms measured, PERF.md r3), so the strict
+    loop's previous shape — ~30 eager minis (pose slices, key splits,
+    convert/squeeze) + 2-3 jitted calls per frame — was launch-bound, not
+    compute-bound.  This fuses: constant-speed init from the device pose
+    list, the tracking scan, the 4x4 pose write-back into ``est_dev``,
+    and (on mapping frames) the keyframe-overlap ranking, into a single
+    launch.  Per-frame PRNG keys fold in from fixed base keys so no host
+    key-split module rides the loop.
 
-@jax.jit
-def pose44_device(candidate: jnp.ndarray) -> jnp.ndarray:
-    """7-vector -> (4, 4) pose with homogeneous row, ON DEVICE."""
-    c2w = pose_from_tensor(candidate)
+    Returns (est_dev', candidate, c2w44, init_tensor, losses, cams,
+    scores) — scores is None unless ``sel_cam`` (H, W, fx, fy, cx, cy)
+    is given."""
+    from nice_slam_tpu.slam.mapper import overlap_scores
+
+    pre = est_dev[idx - 1]
+    if use_cs:
+        prepre = est_dev[jnp.maximum(idx - 2, 0)]
+        init_c2w = (pre @ jnp.linalg.inv(prepre)) @ pre
+    else:
+        init_c2w = pre
+    init_tensor = tensor_from_pose(init_c2w)
+
+    track_key = jax.random.fold_in(track_base, idx)
+    candidate, losses, cams, _ = track_frame(
+        spec, state, init_tensor, gt_color, gt_depth, track_key, tcfg, rcfg
+    )
+
+    c2w34 = pose_from_tensor(candidate)
     bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
-    return jnp.concatenate([c2w, bottom], axis=0)
+    c2w44 = jnp.concatenate([c2w34, bottom], axis=0)
+    est_dev = est_dev.at[idx].set(c2w44)
+
+    scores = None
+    if sel_cam is not None:
+        H, W, fx, fy, cx, cy = sel_cam
+        scores = overlap_scores(
+            jax.random.fold_in(sel_base, idx), gt_color, gt_depth,
+            c2w34, kf_c2ws, H, W, fx, fy, cx, cy,
+        )
+    return est_dev, candidate, c2w44, init_tensor, losses, cams, scores
 
 
 def c2w_from_candidate(candidate: jnp.ndarray) -> np.ndarray:
