@@ -289,11 +289,12 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
     for i in range(n_frames):
         slam.frame_reader[i]
 
-    prefetch = Prefetcher(slam.frame_reader, depth=3, to_device=True)
+    prefetch = Prefetcher(slam.frame_reader, depth=4,
+                          packer=slam.make_strict_packer())
     t0 = None
     frames_timed = 0
     try:
-        for idx, color, depth, c2w in prefetch:
+        for idx, color, depth, c2w, pix in prefetch:
             if idx == warm_end:
                 # drain the device queue so the window starts clean (FETCH
                 # a sliver — block_until_ready does not force execution
@@ -309,7 +310,8 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
                 slam.idx = 0
                 continue
             will_map = idx % EVERY_FRAME == 0
-            slam.track_one(idx, color, depth, c2w, will_map=will_map)
+            slam.track_one(idx, color, depth, c2w, will_map=will_map,
+                           pix=pix)
             if will_map:
                 slam.map_one(idx, color, depth, c2w, init=False)
                 if slam.coarse_mapper is not None:

@@ -40,8 +40,11 @@ from nice_slam_tpu.slam.tracker import (
     TrackerConfig,
     c2w_from_candidate,
     const_speed_init,
+    PixelPack,
     pose34_device,
+    presample_pixels,
     tracked_frame_step,
+    tracked_frame_step_sampled,
     tensor_from_c2w,
     track_frame,
 )
@@ -278,21 +281,50 @@ class NiceSLAM:
         self._track_key, sub = jax.random.split(self._track_key)
         return sub
 
+    def make_strict_packer(self):
+        """Prefetcher ``packer`` for the strict schedule: frames the mapper,
+        visualizer, or first/last-frame logic consumes are uploaded in full
+        from the worker thread; every other tracked frame is presampled on
+        the host and uploaded as a ~50 KB PixelPack — the tracker only ever
+        reads ``iters x pixels`` pixels of a frame, so shipping the full
+        13 MB RGB-D image per frame made the loop transfer-bound over this
+        tunnel (PERF.md r3)."""
+        every = self.mcfg.every_frame
+        vf = self.tracking_visualizer.freq
+        seed = int(self.cfg.get("seed", 42))
+        tcfg = self.tcfg
+        n_img = self.n_img
+
+        def packer(item):
+            idx, color, depth, c2w = item
+            will_map = idx % every == 0 or idx == n_img - 1
+            full = (idx == 0 or will_map or idx % vf == 0 or tcfg.gt_camera)
+            if full:
+                return (idx, jax.device_put(color), jax.device_put(depth),
+                        c2w, None)
+            pi, pj, pd, pc = presample_pixels(seed, idx, tcfg, color, depth)
+            pack = PixelPack(*jax.device_put((pi, pj, pd, pc)))
+            return (idx, color, depth, c2w, pack)
+
+        return packer
+
     def track_one(self, idx: int, gt_color, gt_depth, gt_c2w,
-                  will_map: bool = False) -> np.ndarray:
+                  will_map: bool = False, pix=None) -> np.ndarray:
         """Track a single frame (reference Tracker.run body,
         src/Tracker.py:152-258).  ``will_map``: a mapping call on this frame
         follows immediately (strict schedule) — dispatch the mapper's
         keyframe-overlap ranking before syncing on the tracked pose so both
-        device results return in one fetch."""
+        device results return in one fetch.  ``pix``: host-presampled
+        PixelPack for non-mapping frames (make_strict_packer)."""
         _t0 = time.perf_counter()
         try:
-            return self._track_one(idx, gt_color, gt_depth, gt_c2w, will_map)
+            return self._track_one(idx, gt_color, gt_depth, gt_c2w, will_map,
+                                   pix)
         finally:
             self.timings["tracking_s"] += time.perf_counter() - _t0
 
     def _track_one(self, idx: int, gt_color, gt_depth, gt_c2w,
-                   will_map: bool = False) -> np.ndarray:
+                   will_map: bool = False, pix=None) -> np.ndarray:
         if idx == 0 or self.tcfg.gt_camera:
             c2w = np.asarray(gt_c2w, np.float32)
             if will_map:
@@ -311,6 +343,32 @@ class NiceSLAM:
                 with self._state_lock:
                     state = self.state
                 self.tracking_visualizer.vis(idx, 0, gt_depth, gt_color, c2w, state)
+        elif self._est_dev is not None and pix is not None:
+            # FASTEST PATH (non-mapping, non-vis frames): the tracker's
+            # pixels were presampled on the host and uploaded as ~50 KB
+            # (make_strict_packer) — one module, no full-frame H2D
+            with self._state_lock:
+                state = self.state
+            use_cs = bool(self.tcfg.const_speed_assumption and idx >= 2)
+            (self._est_dev, candidate, c2w, init_tensor, losses,
+             cams) = tracked_frame_step_sampled(
+                self.spec, state, self._est_dev, idx,
+                pix.i, pix.j, pix.depth, pix.color,
+                self.tcfg, self.rcfg, use_cs,
+            )
+            if self.verbose:
+                l = np.asarray(losses)
+                gt_tensor = np.asarray(tensor_from_c2w(np.asarray(gt_c2w)))
+                err0 = float(np.mean(np.abs(gt_tensor
+                                            - np.asarray(init_tensor))))
+                err1 = float(np.mean(np.abs(gt_tensor
+                                            - np.asarray(candidate))))
+                print(f"Tracking Frame {idx}  re-rendering loss: "
+                      f"{l[0]:.2f}->{l[-1]:.2f}  "
+                      f"camera tensor error: {err0:.4f}->{err1:.4f}")
+            self.gt_c2w_list[idx] = np.asarray(gt_c2w, np.float32)
+            self.idx = idx
+            return c2w
         elif self._est_dev is not None:
             # FAST PATH: the whole per-frame device program (const-speed
             # init from the device pose list, tracking scan, pose
@@ -604,9 +662,10 @@ class NiceSLAM:
 
         # engage the device-resident pose list (covers resumed poses)
         self.enable_device_pose_list()
-        prefetch = Prefetcher(self.frame_reader, depth=3,
-                              start=self._start_idx, to_device=True)
-        for idx, gt_color, gt_depth, gt_c2w in prefetch:
+        prefetch = Prefetcher(self.frame_reader, depth=4,
+                              start=self._start_idx,
+                              packer=self.make_strict_packer())
+        for idx, gt_color, gt_depth, gt_c2w, pix in prefetch:
             if idx == 0:
                 self._record_est(0, np.asarray(gt_c2w, np.float32))
                 self.gt_c2w_list[0] = np.asarray(gt_c2w)
@@ -617,7 +676,8 @@ class NiceSLAM:
                 self.idx = 0
                 continue
             will_map = self._should_map(idx)
-            self.track_one(idx, gt_color, gt_depth, gt_c2w, will_map=will_map)
+            self.track_one(idx, gt_color, gt_depth, gt_c2w, will_map=will_map,
+                           pix=pix)
             if will_map:
                 self.map_one(idx, gt_color, gt_depth, gt_c2w, init=False)
                 if self.coarse_mapper is not None and idx != self.n_img - 1:

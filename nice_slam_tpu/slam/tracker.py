@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,10 +36,22 @@ from nice_slam_tpu.ops.geometry import (
     get_samples,
     pose_from_tensor,
     ray_aabb_far,
+    rays_from_uv,
     tensor_from_pose,
 )
 from nice_slam_tpu.ops.render import RenderConfig, render_batch_ray
 from nice_slam_tpu.slam.optim import plain_adam_init, plain_adam_update
+
+
+class PixelPack(NamedTuple):
+    """Host-presampled per-iteration tracking pixels, device-resident
+    (see ``presample_pixels``): the ~50 KB a non-mapping tracked frame
+    actually needs on device instead of the full 13 MB RGB-D frame."""
+
+    i: "jnp.ndarray"       # (iters, n) f32 full-image column coords
+    j: "jnp.ndarray"       # (iters, n) f32 full-image row coords
+    depth: "jnp.ndarray"   # (iters, n) f32 GT depth at the pixels
+    color: "jnp.ndarray"   # (iters, n, 3) f32 GT color at the pixels
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,7 +129,36 @@ def tracking_loss(
         key, He, tcfg.H - He, We, tcfg.W - We, tcfg.pixels,
         tcfg.fx, tcfg.fy, tcfg.cx, tcfg.cy, c2w, gt_depth, gt_color,
     )
+    return _loss_from_batch(spec, state, rays_o, rays_d, batch_gt_depth,
+                            batch_gt_color, tcfg, rcfg)
 
+
+def tracking_loss_sampled(
+    spec: SceneSpec,
+    state: SceneState,
+    cam_tensor: jnp.ndarray,
+    pix_i: jnp.ndarray,
+    pix_j: jnp.ndarray,
+    pix_depth: jnp.ndarray,
+    pix_color: jnp.ndarray,
+    tcfg: TrackerConfig,
+    rcfg: RenderConfig,
+) -> jnp.ndarray:
+    """tracking_loss on HOST-PRESAMPLED pixels (i=column, j=row, full-image
+    float coords + their GT depth/color).  The loss math is byte-identical
+    to the image version — only the pixel gather moved to the host, so the
+    per-frame H2D upload shrinks from the full 13 MB RGB-D frame to the
+    ~50 KB the tracker actually consumes (PERF.md r3: the strict loop was
+    transfer-bound on this tunnel)."""
+    c2w = pose_from_tensor(cam_tensor)
+    rays_o, rays_d = rays_from_uv(pix_i, pix_j, c2w,
+                                  tcfg.fx, tcfg.fy, tcfg.cx, tcfg.cy)
+    return _loss_from_batch(spec, state, rays_o, rays_d, pix_depth,
+                            pix_color, tcfg, rcfg)
+
+
+def _loss_from_batch(spec, state, rays_o, rays_d, batch_gt_depth,
+                     batch_gt_color, tcfg, rcfg):
     if tcfg.nice:
         t_exit = jax.lax.stop_gradient(ray_aabb_far(rays_o, rays_d, state.bound))
         inside = t_exit >= batch_gt_depth
@@ -194,6 +235,122 @@ def track_frame(
     best = jnp.argmin(losses)
     candidate = cams[best]
     return candidate, losses, cams, cam_final
+
+
+@partial(jax.jit, static_argnames=("spec", "tcfg", "rcfg"))
+def track_frame_sampled(
+    spec: SceneSpec,
+    state: SceneState,
+    init_tensor: jnp.ndarray,
+    pix_i: jnp.ndarray,
+    pix_j: jnp.ndarray,
+    pix_depth: jnp.ndarray,
+    pix_color: jnp.ndarray,
+    tcfg: TrackerConfig,
+    rcfg: RenderConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``track_frame`` on host-presampled per-iteration pixel batches
+    (arrays shaped (iters, pixels[, 3]); see ``presample_pixels``).  Same
+    scan, candidate rule and return signature as ``track_frame``."""
+    if tcfg.seperate_LR:
+        lr = jnp.array([0.2] * 4 + [1.0] * 3, jnp.float32) * tcfg.lr
+    else:
+        lr = jnp.asarray(tcfg.lr, jnp.float32)
+
+    adam0 = plain_adam_init(init_tensor)
+
+    def step(carry, inp):
+        pi, pj, pd, pc, it = inp
+        cam, adam = carry
+        loss, g = jax.value_and_grad(
+            lambda c: tracking_loss_sampled(
+                spec, state, c, pi, pj, pd, pc, tcfg, rcfg
+            )
+        )(cam)
+        lr_it = lr * jnp.where(it < tcfg.cf_iters, tcfg.cf_lr_mult, 1.0)
+        cam2, adam2 = plain_adam_update(cam, g, adam, lr_it)
+        return (cam2, adam2), (loss, cam2)
+
+    its = jnp.arange(tcfg.iters, dtype=jnp.int32)
+    (cam_final, _), (losses, cams) = jax.lax.scan(
+        step, (init_tensor, adam0), (pix_i, pix_j, pix_depth, pix_color, its))
+    best = jnp.argmin(losses)
+    candidate = cams[best]
+    return candidate, losses, cams, cam_final
+
+
+def presample_pixels(
+    seed: int,
+    idx: int,
+    tcfg: TrackerConfig,
+    color: np.ndarray,
+    depth: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """HOST-side analog of the tracker's per-iteration pixel sampling: draw
+    ``iters`` independent uniform batches of ``pixels`` pixels from the
+    edge-cropped image (duplicates allowed, reference src/common.py:92-122)
+    and gather their GT values with numpy.
+
+    Deterministic in (seed, idx) via a Philox counter stream — a parallel
+    stream to the device path's threefry fold_in, same distribution.  Runs
+    in the Prefetcher worker so the SLAM loop uploads the ~50 KB the
+    tracker consumes instead of the full 13 MB frame (PERF.md r3).
+
+    Returns (i, j, depth, color): (iters, n) f32 x2, (iters, n) f32,
+    (iters, n, 3) f32."""
+    He, We = tcfg.ignore_edge_H, tcfg.ignore_edge_W
+    hs = tcfg.H - 2 * He
+    ws = tcfg.W - 2 * We
+    rng = np.random.Generator(np.random.Philox(key=[seed, idx]))
+    flat = rng.integers(0, hs * ws, size=(tcfg.iters, tcfg.pixels))
+    r = flat // ws + He
+    c = flat % ws + We
+    return (
+        (c).astype(np.float32),
+        (r).astype(np.float32),
+        np.ascontiguousarray(depth[r, c], dtype=np.float32),
+        np.ascontiguousarray(color[r, c], dtype=np.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("tcfg", "rcfg", "spec", "use_cs"))
+def tracked_frame_step_sampled(
+    spec,
+    state,
+    est_dev: jnp.ndarray,
+    idx: jnp.ndarray,
+    pix_i: jnp.ndarray,
+    pix_j: jnp.ndarray,
+    pix_depth: jnp.ndarray,
+    pix_color: jnp.ndarray,
+    tcfg: "TrackerConfig",
+    rcfg,
+    use_cs: bool,
+):
+    """``tracked_frame_step`` for NON-MAPPING frames fed by host-presampled
+    pixel batches: const-speed init from the device pose list, the sampled
+    tracking scan, and the pose write-back — one module, ~50 KB of H2D.
+    (Mapping/vis frames need the full frame on device and keep the image
+    path.)  Returns (est_dev', candidate, c2w44, init_tensor, losses,
+    cams)."""
+    pre = est_dev[idx - 1]
+    if use_cs:
+        prepre = est_dev[jnp.maximum(idx - 2, 0)]
+        init_c2w = (pre @ jnp.linalg.inv(prepre)) @ pre
+    else:
+        init_c2w = pre
+    init_tensor = tensor_from_pose(init_c2w)
+
+    candidate, losses, cams, _ = track_frame_sampled(
+        spec, state, init_tensor, pix_i, pix_j, pix_depth, pix_color,
+        tcfg, rcfg,
+    )
+
+    c2w34 = pose_from_tensor(candidate)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
+    c2w44 = jnp.concatenate([c2w34, bottom], axis=0)
+    est_dev = est_dev.at[idx].set(c2w44)
+    return est_dev, candidate, c2w44, init_tensor, losses, cams
 
 
 def const_speed_init(

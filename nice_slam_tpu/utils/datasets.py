@@ -379,13 +379,20 @@ class Prefetcher:
     device from the worker thread, so the per-frame host->HBM transfer
     (~13 MB at Replica resolution) overlaps the previous frame's compute
     instead of landing on the SLAM loop's critical path (every downstream
-    ``jnp.asarray`` then becomes a no-op)."""
+    ``jnp.asarray`` then becomes a no-op).
+
+    ``packer`` (optional, overrides ``to_device``): a callable run on each
+    raw ``(idx, color, depth, c2w)`` item IN THE WORKER THREAD whose return
+    value is yielded instead — the strict SLAM loop uses it to presample
+    tracking pixels and upload ~50 KB for non-mapping frames rather than
+    the full frame (PERF.md r3: the loop was transfer-bound)."""
 
     def __init__(self, dataset: BaseDataset, depth: int = 2, start: int = 0,
-                 to_device: bool = False):
+                 to_device: bool = False, packer=None):
         self.dataset = dataset
         self.start = start
         self.to_device = to_device
+        self.packer = packer
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._worker, daemon=True)
@@ -401,7 +408,9 @@ class Prefetcher:
             if self._stop.is_set():
                 return
             item = self.dataset[i]
-            if put is not None:
+            if self.packer is not None:
+                item = self.packer(item)
+            elif put is not None:
                 idx, color, depth, c2w = item
                 item = (idx, put(color), put(depth), c2w)
             self.q.put(item)
