@@ -299,6 +299,7 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
                 # drain the device queue so the window starts clean (FETCH
                 # a sliver — block_until_ready does not force execution
                 # under the lazy axon runtime, PERF.md r3)
+                slam.flush_packs()
                 np.asarray(slam.state.grids["grid_fine"][..., 0, 0])
                 t0 = time.perf_counter()
             if idx == 0:
@@ -309,18 +310,23 @@ def _measure_strict_loop(base_cfg, on_tpu: bool):
                     slam.map_one(0, color, depth, c2w, init=True, coarse=True)
                 slam.idx = 0
                 continue
-            will_map = idx % EVERY_FRAME == 0
-            slam.track_one(idx, color, depth, c2w, will_map=will_map,
-                           pix=pix)
-            if will_map:
-                slam.map_one(idx, color, depth, c2w, init=False)
-                if slam.coarse_mapper is not None:
-                    slam.map_one(idx, color, depth, c2w, init=False,
-                                 coarse=True)
+            if pix is not None:
+                # batched tracking path, exactly as _run_strict
+                slam.enqueue_pack(idx, pix, c2w)
+            else:
+                slam.flush_packs()
+                will_map = idx % EVERY_FRAME == 0
+                slam.track_one(idx, color, depth, c2w, will_map=will_map)
+                if will_map:
+                    slam.map_one(idx, color, depth, c2w, init=False)
+                    if slam.coarse_mapper is not None:
+                        slam.map_one(idx, color, depth, c2w, init=False,
+                                     coarse=True)
             if t0 is not None:
                 frames_timed += 1
             if idx == last:
                 break
+        slam.flush_packs()
     finally:
         prefetch.close()
     if t0 is None or frames_timed == 0:

@@ -44,7 +44,7 @@ from nice_slam_tpu.slam.tracker import (
     pose34_device,
     presample_pixels,
     tracked_frame_step,
-    tracked_frame_step_sampled,
+    tracked_frames_step_sampled,
     tensor_from_c2w,
     track_frame,
 )
@@ -120,6 +120,7 @@ class NiceSLAM:
         # the host mirror above is flushed lazily at ckpt/vis/mesh/end
         # boundaries instead of every frame
         self._est_dev = None
+        self._pend = []  # queued presampled frames (idx, PixelPack, gt_c2w)
         self.idx = 0               # latest tracked frame
         self.mapping_idx = -1      # latest mapped frame
         self.mapping_cnt = 0
@@ -302,29 +303,77 @@ class NiceSLAM:
             if full:
                 return (idx, jax.device_put(color), jax.device_put(depth),
                         c2w, None)
-            pi, pj, pd, pc = presample_pixels(seed, idx, tcfg, color, depth)
-            pack = PixelPack(*jax.device_put((pi, pj, pd, pc)))
+            # host arrays, NOT device_put: the strict loop batches a run of
+            # these frames into one device module (_flush_packs) and the
+            # stacked ~200 KB upload rides that single call
+            pack = PixelPack(*presample_pixels(seed, idx, tcfg, color, depth))
             return (idx, color, depth, c2w, pack)
 
         return packer
 
+    def enqueue_pack(self, idx: int, pix, gt_c2w) -> None:
+        """Queue a presampled non-mapping frame for the next batched
+        tracking module (``_flush_packs``).  Frames in the queue are
+        consecutive by construction of the strict schedule."""
+        if self._pend:
+            assert idx == self._pend[-1][0] + 1, "packs must be consecutive"
+        self._pend.append((idx, pix, np.asarray(gt_c2w, np.float32)))
+        if len(self._pend) >= max(self.mcfg.every_frame - 1, 1):
+            self.flush_packs()
+
+    def flush_packs(self) -> None:
+        """Track every queued presampled frame in ONE device module
+        (tracked_frames_step_sampled): each module execution costs a fixed
+        host-dispatch overhead over a remote-tunnel device (~10-15 ms,
+        PERF.md r3), so the 4 non-mapping frames between two mapping events
+        dispatch once instead of four times."""
+        if not self._pend:
+            return
+        _t0 = time.perf_counter()
+        idx0 = self._pend[0][0]
+        pi = np.stack([p.i for _, p, _ in self._pend])
+        pj = np.stack([p.j for _, p, _ in self._pend])
+        pd = np.stack([p.depth for _, p, _ in self._pend])
+        pc = np.stack([p.color for _, p, _ in self._pend])
+        with self._state_lock:
+            state = self.state
+        (self._est_dev, cands, _, inits, losses) = tracked_frames_step_sampled(
+            self.spec, state, self._est_dev, np.int32(idx0),
+            pi, pj, pd, pc, self.tcfg, self.rcfg,
+        )
+        if self.verbose:
+            l = np.asarray(losses)
+            inits_np = np.asarray(inits)
+            cands_np = np.asarray(cands)
+            for k, (idx, _, gtc) in enumerate(self._pend):
+                gt_tensor = np.asarray(tensor_from_c2w(gtc))
+                err0 = float(np.mean(np.abs(gt_tensor - inits_np[k])))
+                err1 = float(np.mean(np.abs(gt_tensor - cands_np[k])))
+                print(f"Tracking Frame {idx}  re-rendering loss: "
+                      f"{l[k, 0]:.2f}->{l[k, -1]:.2f}  "
+                      f"camera tensor error: {err0:.4f}->{err1:.4f}")
+        for idx, _, gtc in self._pend:
+            self.gt_c2w_list[idx] = gtc
+        self.idx = self._pend[-1][0]
+        self._pend.clear()
+        self.timings["tracking_s"] += time.perf_counter() - _t0
+
     def track_one(self, idx: int, gt_color, gt_depth, gt_c2w,
-                  will_map: bool = False, pix=None) -> np.ndarray:
+                  will_map: bool = False) -> np.ndarray:
         """Track a single frame (reference Tracker.run body,
         src/Tracker.py:152-258).  ``will_map``: a mapping call on this frame
         follows immediately (strict schedule) — dispatch the mapper's
         keyframe-overlap ranking before syncing on the tracked pose so both
-        device results return in one fetch.  ``pix``: host-presampled
-        PixelPack for non-mapping frames (make_strict_packer)."""
+        device results return in one fetch.  (Non-mapping frames go through
+        enqueue_pack/flush_packs instead: batched presampled tracking.)"""
         _t0 = time.perf_counter()
         try:
-            return self._track_one(idx, gt_color, gt_depth, gt_c2w, will_map,
-                                   pix)
+            return self._track_one(idx, gt_color, gt_depth, gt_c2w, will_map)
         finally:
             self.timings["tracking_s"] += time.perf_counter() - _t0
 
     def _track_one(self, idx: int, gt_color, gt_depth, gt_c2w,
-                   will_map: bool = False, pix=None) -> np.ndarray:
+                   will_map: bool = False) -> np.ndarray:
         if idx == 0 or self.tcfg.gt_camera:
             c2w = np.asarray(gt_c2w, np.float32)
             if will_map:
@@ -343,32 +392,6 @@ class NiceSLAM:
                 with self._state_lock:
                     state = self.state
                 self.tracking_visualizer.vis(idx, 0, gt_depth, gt_color, c2w, state)
-        elif self._est_dev is not None and pix is not None:
-            # FASTEST PATH (non-mapping, non-vis frames): the tracker's
-            # pixels were presampled on the host and uploaded as ~50 KB
-            # (make_strict_packer) — one module, no full-frame H2D
-            with self._state_lock:
-                state = self.state
-            use_cs = bool(self.tcfg.const_speed_assumption and idx >= 2)
-            (self._est_dev, candidate, c2w, init_tensor, losses,
-             cams) = tracked_frame_step_sampled(
-                self.spec, state, self._est_dev, idx,
-                pix.i, pix.j, pix.depth, pix.color,
-                self.tcfg, self.rcfg, use_cs,
-            )
-            if self.verbose:
-                l = np.asarray(losses)
-                gt_tensor = np.asarray(tensor_from_c2w(np.asarray(gt_c2w)))
-                err0 = float(np.mean(np.abs(gt_tensor
-                                            - np.asarray(init_tensor))))
-                err1 = float(np.mean(np.abs(gt_tensor
-                                            - np.asarray(candidate))))
-                print(f"Tracking Frame {idx}  re-rendering loss: "
-                      f"{l[0]:.2f}->{l[-1]:.2f}  "
-                      f"camera tensor error: {err0:.4f}->{err1:.4f}")
-            self.gt_c2w_list[idx] = np.asarray(gt_c2w, np.float32)
-            self.idx = idx
-            return c2w
         elif self._est_dev is not None:
             # FAST PATH: the whole per-frame device program (const-speed
             # init from the device pose list, tracking scan, pose
@@ -666,6 +689,12 @@ class NiceSLAM:
                               start=self._start_idx,
                               packer=self.make_strict_packer())
         for idx, gt_color, gt_depth, gt_c2w, pix in prefetch:
+            if pix is not None:
+                # presampled non-mapping frame: queue for the next batched
+                # tracking module (one dispatch per run of such frames)
+                self.enqueue_pack(idx, pix, gt_c2w)
+                continue
+            self.flush_packs()
             if idx == 0:
                 self._record_est(0, np.asarray(gt_c2w, np.float32))
                 self.gt_c2w_list[0] = np.asarray(gt_c2w)
@@ -676,13 +705,13 @@ class NiceSLAM:
                 self.idx = 0
                 continue
             will_map = self._should_map(idx)
-            self.track_one(idx, gt_color, gt_depth, gt_c2w, will_map=will_map,
-                           pix=pix)
+            self.track_one(idx, gt_color, gt_depth, gt_c2w, will_map=will_map)
             if will_map:
                 self.map_one(idx, gt_color, gt_depth, gt_c2w, init=False)
                 if self.coarse_mapper is not None and idx != self.n_img - 1:
                     self.map_one(idx, gt_color, gt_depth, gt_c2w, init=False,
                                  coarse=True)
+        self.flush_packs()
 
     def _run_threaded(self) -> None:
         """loose/free sync: tracker + mapper(s) as concurrent host threads

@@ -313,44 +313,59 @@ def presample_pixels(
     )
 
 
-@partial(jax.jit, static_argnames=("tcfg", "rcfg", "spec", "use_cs"))
-def tracked_frame_step_sampled(
+@partial(jax.jit, static_argnames=("tcfg", "rcfg", "spec"))
+def tracked_frames_step_sampled(
     spec,
     state,
     est_dev: jnp.ndarray,
-    idx: jnp.ndarray,
+    idx0: jnp.ndarray,
     pix_i: jnp.ndarray,
     pix_j: jnp.ndarray,
     pix_depth: jnp.ndarray,
     pix_color: jnp.ndarray,
     tcfg: "TrackerConfig",
     rcfg,
-    use_cs: bool,
 ):
-    """``tracked_frame_step`` for NON-MAPPING frames fed by host-presampled
-    pixel batches: const-speed init from the device pose list, the sampled
-    tracking scan, and the pose write-back — one module, ~50 KB of H2D.
-    (Mapping/vis frames need the full frame on device and keep the image
-    path.)  Returns (est_dev', candidate, c2w44, init_tensor, losses,
-    cams)."""
-    pre = est_dev[idx - 1]
-    if use_cs:
-        prepre = est_dev[jnp.maximum(idx - 2, 0)]
-        init_c2w = (pre @ jnp.linalg.inv(prepre)) @ pre
-    else:
-        init_c2w = pre
-    init_tensor = tensor_from_pose(init_c2w)
+    """Track G CONSECUTIVE non-mapping frames (idx0 .. idx0+G-1) in ONE
+    device module: each module execution pays a fixed host-dispatch cost
+    over a remote-tunnel device (~10-15 ms measured, PERF.md r3), so the
+    strict loop batches every run of presampled frames between two
+    mapping/vis events into a single program.
 
-    candidate, losses, cams, _ = track_frame_sampled(
-        spec, state, init_tensor, pix_i, pix_j, pix_depth, pix_color,
-        tcfg, rcfg,
-    )
+    pix_* are stacked host-presampled batches shaped (G, iters, n[, 3])
+    (``presample_pixels`` per frame).  Per-frame semantics are identical
+    to ``tracked_frame_step_sampled``: const-speed init from the device
+    pose list (engaged from frame 2 on), the sampled tracking scan, the
+    argmin-loss candidate, and the pose write-back at idx0+k — frame k+1
+    reads the pose frame k just wrote.
 
-    c2w34 = pose_from_tensor(candidate)
+    Returns (est_dev', candidates (G,7), c2w44s (G,4,4),
+    init_tensors (G,7), losses (G,iters))."""
     bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
-    c2w44 = jnp.concatenate([c2w34, bottom], axis=0)
-    est_dev = est_dev.at[idx].set(c2w44)
-    return est_dev, candidate, c2w44, init_tensor, losses, cams
+
+    def frame(est, inp):
+        pi, pj, pd, pc, off = inp
+        idx = idx0 + off
+        pre = est[idx - 1]
+        if tcfg.const_speed_assumption:
+            prepre = est[jnp.maximum(idx - 2, 0)]
+            cs = (pre @ jnp.linalg.inv(prepre)) @ pre
+            init_c2w = jnp.where(idx >= 2, cs, pre)
+        else:
+            init_c2w = pre
+        init_tensor = tensor_from_pose(init_c2w)
+        candidate, losses, _, _ = track_frame_sampled(
+            spec, state, init_tensor, pi, pj, pd, pc, tcfg, rcfg,
+        )
+        c2w34 = pose_from_tensor(candidate)
+        c2w44 = jnp.concatenate([c2w34, bottom], axis=0)
+        est = est.at[idx].set(c2w44)
+        return est, (candidate, c2w44, init_tensor, losses)
+
+    offs = jnp.arange(pix_i.shape[0], dtype=jnp.int32)
+    est_dev, (cands, c2w44s, inits, losses) = jax.lax.scan(
+        frame, est_dev, (pix_i, pix_j, pix_depth, pix_color, offs))
+    return est_dev, cands, c2w44s, inits, losses
 
 
 def const_speed_init(

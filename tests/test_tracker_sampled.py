@@ -18,7 +18,7 @@ from nice_slam_tpu.slam.tracker import (
     track_frame_sampled,
     tracking_loss,
     tracking_loss_sampled,
-    tracked_frame_step_sampled,
+    tracked_frames_step_sampled,
 )
 
 
@@ -114,29 +114,61 @@ def test_track_frame_sampled_matches_image_scan_statistically():
     assert np.max(np.abs(np.asarray(cand_smp) - np.asarray(cand_img))) < 0.05
 
 
-def test_tracked_frame_step_sampled_pose_writeback_and_cs_init():
-    """The fused step writes the tracked pose into the device pose list at
-    idx and const-speed-initializes from idx-1/idx-2 exactly like the host
-    const_speed_init (reference src/Tracker.py:208-219)."""
+def test_tracked_frames_step_pose_writeback_and_cs_init():
+    """The batched step writes each tracked pose into the device pose list
+    and const-speed-initializes frame k from the poses frames k-1/k-2 wrote
+    — the first frame's init must match the host const_speed_init
+    (reference src/Tracker.py:208-219)."""
     spec, state, tcfg, rcfg, _, color, depth = _setup()
-    est = np.tile(np.eye(4, dtype=np.float32), (6, 1, 1))
+    est = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
     # two distinct prior poses -> nontrivial const-speed extrapolation
     est[1][:3, 3] = [0.02, 0.0, 0.0]
     est[2][:3, 3] = [0.05, 0.01, 0.0]
     est_dev = jnp.asarray(est)
-    pi, pj, pd, pc = presample_pixels(1, 3, tcfg, color, depth)
-    est2, candidate, c2w44, init_tensor, losses, _ = (
-        tracked_frame_step_sampled(
-            spec, state, est_dev, jnp.int32(3),
-            jnp.asarray(pi), jnp.asarray(pj), jnp.asarray(pd),
-            jnp.asarray(pc), tcfg, rcfg, True))
+    packs = [presample_pixels(1, i, tcfg, color, depth) for i in (3, 4)]
+    pi, pj, pd, pc = (np.stack([p[k] for p in packs]) for k in range(4))
+    est2, cands, c2w44s, inits, losses = tracked_frames_step_sampled(
+        spec, state, est_dev, np.int32(3), pi, pj, pd, pc, tcfg, rcfg)
     from nice_slam_tpu.slam.tracker import const_speed_init, tensor_from_c2w
 
     want_init = tensor_from_c2w(const_speed_init(est[2], est[1]))
-    np.testing.assert_allclose(np.asarray(init_tensor),
+    np.testing.assert_allclose(np.asarray(inits)[0],
                                np.asarray(want_init), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(est2)[3], np.asarray(c2w44),
-                               atol=1e-6)
+    est2 = np.asarray(est2)
+    np.testing.assert_allclose(est2[3], np.asarray(c2w44s)[0], atol=1e-6)
+    np.testing.assert_allclose(est2[4], np.asarray(c2w44s)[1], atol=1e-6)
     # untouched rows stay put
-    np.testing.assert_array_equal(np.asarray(est2)[:3], est[:3])
+    np.testing.assert_array_equal(est2[:3], est[:3])
+    np.testing.assert_array_equal(est2[5:], est[5:])
     assert np.all(np.isfinite(np.asarray(losses)))
+    assert np.asarray(losses).shape == (2, tcfg.iters)
+
+
+def test_batched_step_matches_per_frame_steps():
+    """Running G frames through one batched module must equal running them
+    one at a time (each frame seeing the previous frame's written pose):
+    the grouping is a dispatch optimization, not a semantic change."""
+    spec, state, tcfg, rcfg, _, color, depth = _setup()
+    est = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    est[1][:3, 3] = [0.02, 0.0, 0.0]
+    est[2][:3, 3] = [0.05, 0.01, 0.0]
+    packs = [presample_pixels(9, i, tcfg, color, depth) for i in (3, 4, 5)]
+    pi, pj, pd, pc = (np.stack([p[k] for p in packs]) for k in range(4))
+    est_b, cands_b, _, _, losses_b = tracked_frames_step_sampled(
+        spec, state, jnp.asarray(est), np.int32(3), pi, pj, pd, pc,
+        tcfg, rcfg)
+    # per-frame: G=1 batched calls chained on the written pose list
+    est_s = jnp.asarray(est)
+    cands_s, losses_s = [], []
+    for k, (qi, qj, qd, qc) in enumerate(packs):
+        est_s, cand, _, _, loss = tracked_frames_step_sampled(
+            spec, state, est_s, np.int32(3 + k),
+            qi[None], qj[None], qd[None], qc[None], tcfg, rcfg)
+        cands_s.append(np.asarray(cand)[0])
+        losses_s.append(np.asarray(loss)[0])
+    np.testing.assert_allclose(np.asarray(cands_b), np.asarray(cands_s),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(losses_b), np.asarray(losses_s),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(est_b), np.asarray(est_s),
+                               atol=1e-6)
