@@ -74,6 +74,48 @@ def update_cam(cfg: Dict[str, Any]) -> Dict[str, Any]:
     return cam
 
 
+def _dequant_fn(pds: float, scale: float):
+    """Jitted device dequant replaying BaseDataset's exact f32 ops
+    (color = u8/255, depth = u16/pds*scale)."""
+
+    @jax.jit
+    def dq(c8, d16):
+        color = c8.astype(jnp.float32) / 255.0
+        depth = d16.astype(jnp.float32) / pds * scale
+        return color, depth
+
+    return dq
+
+
+def make_frame_uploader(frame_reader):
+    """Host->device frame upload at SOURCE precision: full f32 RGB-D is
+    ~13 MB at Replica resolution, but the data carries only u8 color +
+    u16 depth of information (the reference reads exactly that from disk,
+    src/utils/datasets.py:77-113) — so re-quantize on the host, ship 4 MB,
+    and dequantize on device with the reader's f32 ops (values match to
+    1 ulp; XLA may lower /const as a reciprocal multiply).  Falls back
+    to the f32 upload for float-native datasets (``upload_quant`` None),
+    depth that would clip at the u16 ceiling, or
+    NICE_SLAM_TPU_QUANT_UPLOAD=0."""
+    from nice_slam_tpu.utils.datasets import quantize_frame
+
+    quant = getattr(frame_reader, "upload_quant", None)
+    if os.environ.get("NICE_SLAM_TPU_QUANT_UPLOAD", "1") != "1":
+        quant = None
+    dq = _dequant_fn(*quant) if quant is not None else None
+
+    def upload(color, depth):
+        if dq is not None:
+            packed = quantize_frame(color, depth, quant[0] / quant[1])
+            if packed is not None:
+                c8, d16 = packed
+                return dq(jax.device_put(c8), jax.device_put(d16))
+        return jax.device_put(np.asarray(color)), jax.device_put(
+            np.asarray(depth))
+
+    return upload
+
+
 class NiceSLAM:
     """Main SLAM system. ``nice=True`` -> hierarchical grids; ``False`` -> iMAP*."""
 
@@ -295,14 +337,15 @@ class NiceSLAM:
         seed = int(self.cfg.get("seed", 42))
         tcfg = self.tcfg
         n_img = self.n_img
+        upload_full = make_frame_uploader(self.frame_reader)
 
         def packer(item):
             idx, color, depth, c2w = item
             will_map = idx % every == 0 or idx == n_img - 1
             full = (idx == 0 or will_map or idx % vf == 0 or tcfg.gt_camera)
             if full:
-                return (idx, jax.device_put(color), jax.device_put(depth),
-                        c2w, None)
+                color_d, depth_d = upload_full(color, depth)
+                return (idx, color_d, depth_d, c2w, None)
             # host arrays, NOT device_put: the strict loop batches a run of
             # these frames into one device module (_flush_packs) and the
             # stacked ~200 KB upload rides that single call
@@ -742,8 +785,16 @@ class NiceSLAM:
                     del frame_cache[k]
 
         def tracker_thread():
+            upload_full = make_frame_uploader(self.frame_reader)
+
+            def quant_pack(item):
+                idx, c, d, p = item
+                cd, dd = upload_full(c, d)
+                return idx, cd, dd, p
+
             prefetch = Prefetcher(self.frame_reader, depth=3,
-                                  start=max(1, self._start_idx))
+                                  start=max(1, self._start_idx),
+                                  packer=quant_pack)
             try:
                 while self.mapping_first_frame == 0:
                     if self._abort.is_set():

@@ -52,6 +52,15 @@ class BaseDataset:
         self.name = cfg["dataset"]
         self.scale = scale
         self.png_depth_scale = cfg["cam"]["png_depth_scale"]
+        # (pds, scale) the device dequant replays to undo quantize_frame;
+        # None when re-quantization would lose data (float-native depth is
+        # overridden per-dataset; undistortion/resize resample the u8 grid)
+        self.upload_quant = (
+            (float(self.png_depth_scale), float(scale))
+            if cfg["cam"].get("distortion") is None
+            and cfg["cam"].get("crop_size") is None
+            else None
+        )
         self.H = cfg["cam"]["H"]
         self.W = cfg["cam"]["W"]
         self.fx = cfg["cam"]["fx"]
@@ -195,6 +204,7 @@ class CoFusion(BaseDataset):
 
     def __init__(self, cfg, args=None, scale=1.0):
         super().__init__(cfg, args, scale)
+        self.upload_quant = None  # float-native EXR depth: no exact u16
         self.color_paths = sorted(
             glob.glob(os.path.join(self.input_folder, "colour", "*.png"))
         )
@@ -295,6 +305,10 @@ class Synthetic(BaseDataset):
         self.n_img = int(cfg["data"].get("n_frames", 40))
         room = cfg["data"].get("room", [[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]])
         self.room = np.asarray(room, dtype=np.float32)
+        # float-native analytic depth: quantize at a scene-derived scale
+        # (room diagonal never clips; ~0.3 mm steps at Replica room size)
+        diag = float(np.linalg.norm(self.room[:, 1] - self.room[:, 0]))
+        self.upload_quant = (65535.0 / (diag * max(scale, 1e-12) * 1.25), 1.0)
         # total orbit sweep; per-frame motion scales with radians / n_frames
         self.orbit_radians = float(cfg["data"].get("orbit_radians", 0.5 * np.pi))
         self.poses = [self._pose(i) for i in range(self.n_img)]
@@ -369,6 +383,25 @@ class Synthetic(BaseDataset):
         pose = self.poses[index].copy()
         pose[:3, 3] *= self.scale
         return index, color, depth * self.scale, pose
+
+
+def quantize_frame(color: np.ndarray, depth: np.ndarray, qscale: float):
+    """Re-quantize a preprocessed f32 RGB-D frame to its SOURCE precision
+    (u8 color, u16 depth at ``qscale`` = png_depth_scale/scale) for cheap
+    host->device upload (13 MB -> 4 MB at Replica resolution).
+
+    For png-backed datasets (Replica/ScanNet/TUM/Azure without resampling)
+    the roundtrip is bit-exact: the reader computed color = u8/255 and
+    depth = u16/qscale in f32 (BaseDataset.__getitem__), and the device
+    dequant replays the identical f32 ops.  Returns None if any depth
+    would clip at the u16 ceiling (caller falls back to the f32 upload).
+    """
+    d = np.rint(np.asarray(depth) * qscale)
+    if d.max() > 65535.0:
+        return None
+    c8 = np.rint(np.asarray(color) * 255.0)
+    np.clip(c8, 0.0, 255.0, out=c8)
+    return c8.astype(np.uint8), d.astype(np.uint16)
 
 
 class Prefetcher:

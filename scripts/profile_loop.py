@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Trace the REAL strict loop (bench.py's _measure_strict_loop workload)
+with host-side phase timers + an optional jax.profiler device trace, to
+find where the wall clock goes between the device modules.
+
+Usage: python scripts/profile_loop.py [--trace /tmp/loop_trace]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, here)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None)
+    ap.add_argument("--frames", type=int, default=51)
+    ap.add_argument("--warm_end", type=int, default=26)
+    args = ap.parse_args()
+
+    import argparse as _ap
+    import copy
+    import tempfile
+
+    import bench
+    from nice_slam_tpu.slam.slam import NiceSLAM
+    from nice_slam_tpu.utils.datasets import Prefetcher
+
+    base_cfg = bench.main.__globals__  # reuse bench's cfg dict literal
+    # rebuild the cfg exactly as bench.main does
+    src = open(os.path.join(here, "bench.py")).read()
+    ns = {}
+    # cheap: call the pieces ourselves
+    cfg = None
+    import importlib
+    bench_mod = importlib.import_module("bench")
+    # replicate: copy the literal from bench.main via a tiny exec hack is
+    # fragile; instead reuse _measure_strict_loop's own construction by
+    # importing the cfg the same way bench.main builds it
+    from nice_slam_tpu.ops.render import RenderConfig  # noqa: F401
+
+    EVERY = 5
+    cfg = {
+        "dataset": "synthetic", "scale": 1, "occupancy": True, "coarse": True,
+        "sync_method": "strict", "verbose": False, "low_gpu_mem": False,
+        "grid_len": {"coarse": 2, "middle": 0.32, "fine": 0.16, "color": 0.16,
+                     "bound_divisible": 0.32},
+        "model": {"c_dim": 32, "coarse_bound_enlarge": 2,
+                  "pos_embedding_method": "fourier"},
+        "data": {"dim": 3, "n_frames": 30,
+                 "room": [[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]]},
+        "mapping": {
+            "bound": [[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]],
+            "pixels": 1000, "iters": 60, "iters_first": 1500,
+            "every_frame": EVERY, "keyframe_every": 50,
+            "mapping_window_size": 5, "middle_iter_ratio": 0.4,
+            "fine_iter_ratio": 0.6, "w_color_loss": 0.2,
+            "BA": False, "BA_cam_lr": 0.001, "fix_fine": True,
+            "fix_color": False, "frustum_feature_selection": True,
+            "keyframe_selection_method": "overlap",
+            "lr_first_factor": 5, "lr_factor": 1, "color_refine": True,
+            "stage": {
+                "coarse": {"decoders_lr": 0.0, "coarse_lr": 0.001,
+                           "middle_lr": 0.0, "fine_lr": 0.0, "color_lr": 0.0},
+                "middle": {"decoders_lr": 0.0, "coarse_lr": 0.0,
+                           "middle_lr": 0.1, "fine_lr": 0.0, "color_lr": 0.0},
+                "fine": {"decoders_lr": 0.0, "coarse_lr": 0.0,
+                         "middle_lr": 0.005, "fine_lr": 0.005,
+                         "color_lr": 0.0},
+                "color": {"decoders_lr": 0.005, "coarse_lr": 0.0,
+                          "middle_lr": 0.005, "fine_lr": 0.005,
+                          "color_lr": 0.005},
+            },
+        },
+        "rendering": {"N_samples": 32, "N_surface": 16, "N_importance": 0,
+                      "lindisp": False, "perturb": 0.0},
+        "cam": {"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0, "cx": 599.5,
+                "cy": 339.5, "png_depth_scale": 6553.5, "crop_edge": 0},
+        "tracking": {"lr": 0.001, "iters": 10, "pixels": 200,
+                     "seperate_LR": False, "w_color_loss": 0.5,
+                     "ignore_edge_W": 100, "ignore_edge_H": 100,
+                     "handle_dynamic": True, "use_color_in_tracking": True,
+                     "const_speed_assumption": True, "gt_camera": False},
+    }
+
+    n_frames = args.frames
+    cfg = copy.deepcopy(cfg)
+    out_dir = tempfile.mkdtemp(prefix="nice_slam_prof_")
+    cfg["seed"] = 0
+    cfg["data"].update({"n_frames": n_frames, "output": out_dir,
+                        "orbit_radians": 0.3})
+    big = 10 ** 9
+    cfg["mapping"].update({
+        "keyframe_every": 5,
+        "ckpt_freq": big, "mesh_freq": big, "vis_freq": big,
+        "vis_inside_freq": big, "no_vis_on_first_frame": True,
+        "no_log_on_first_frame": True, "no_mesh_on_first_frame": True,
+    })
+    cfg["tracking"].update({"vis_freq": big, "vis_inside_freq": big})
+
+    slam_args = _ap.Namespace(nice=True, input_folder=None, output=None)
+    slam = NiceSLAM(cfg, slam_args)
+    slam.enable_device_pose_list()
+
+    for i in range(n_frames):
+        slam.frame_reader[i]
+
+    phase = {}
+
+    def clock(name, fn, *a, **kw):
+        t0 = time.perf_counter()
+        r = fn(*a, **kw)
+        dt = time.perf_counter() - t0
+        phase.setdefault(name, []).append(dt)
+        return r
+
+    prefetch = Prefetcher(slam.frame_reader, depth=4,
+                          packer=slam.make_strict_packer())
+    tracing = False
+    t_iter_prev = None
+    try:
+        for item in prefetch:
+            t_get = time.perf_counter()
+            if t_iter_prev is not None:
+                phase.setdefault("q_wait", []).append(t_get - t_iter_prev)
+            idx, color, depth, c2w, pix = item
+            if idx == args.warm_end:
+                slam.flush_packs()
+                np.asarray(slam.state.grids["grid_fine"][..., 0, 0])
+                for k in phase:
+                    phase[k] = []
+                if args.trace:
+                    jax.profiler.start_trace(args.trace)
+                    tracing = True
+                t0 = time.perf_counter()
+                frames0 = idx
+            if idx == 0:
+                slam._record_est(0, np.asarray(c2w, np.float32))
+                slam.gt_c2w_list[0] = np.asarray(c2w)
+                slam.map_one(0, color, depth, c2w, init=True)
+                if slam.coarse_mapper is not None:
+                    slam.map_one(0, color, depth, c2w, init=True, coarse=True)
+                slam.idx = 0
+                t_iter_prev = time.perf_counter()
+                continue
+            if pix is not None:
+                clock("enqueue", slam.enqueue_pack, idx, pix, c2w)
+            else:
+                clock("flush", slam.flush_packs)
+                will_map = idx % EVERY == 0
+                clock("track_map_frame", slam.track_one, idx, color, depth,
+                      c2w, will_map=will_map)
+                if will_map:
+                    clock("map_main", slam.map_one, idx, color, depth, c2w,
+                          init=False)
+                    if slam.coarse_mapper is not None:
+                        clock("map_coarse", slam.map_one, idx, color, depth,
+                              c2w, init=False, coarse=True)
+            t_iter_prev = time.perf_counter()
+            if idx == n_frames - 1:
+                break
+        slam.flush_packs()
+    finally:
+        prefetch.close()
+    np.asarray(slam.state.grids["grid_fine"][..., 0, 0])
+    np.asarray(slam.state.grids["grid_coarse"][..., 0, 0])
+    wall = time.perf_counter() - t0
+    if tracing:
+        jax.profiler.stop_trace()
+    nf = n_frames - 1 - args.warm_end
+    print(f"\nwall {wall*1e3:.0f} ms for {nf} frames "
+          f"-> {nf/wall:.2f} FPS")
+    for k, v in sorted(phase.items()):
+        if not v:
+            continue
+        print(f"{k:18s} n={len(v):3d} total={sum(v)*1e3:8.1f} ms "
+              f"mean={np.mean(v)*1e3:7.2f} max={np.max(v)*1e3:7.2f}")
+
+
+if __name__ == "__main__":
+    main()

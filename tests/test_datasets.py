@@ -212,3 +212,50 @@ def test_prefetcher_to_device_yields_identical_frames():
     finally:
         pf.close()
     assert seen == 3
+
+
+def test_quantize_frame_roundtrip_exact_for_png_sources():
+    """u8/u16-sourced frames survive the upload re-quantization BITWISE:
+    reader f32 ops -> quantize_frame -> device dequant replay."""
+    from nice_slam_tpu.slam.slam import _dequant_fn
+    from nice_slam_tpu.utils.datasets import quantize_frame
+
+    rng = np.random.default_rng(0)
+    pds, scale = 6553.5, 1.0
+    src_c = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+    src_d = rng.integers(0, 65000, (12, 17), dtype=np.uint16)
+    # BaseDataset.__getitem__'s exact preprocessing (datasets.py:91-92)
+    color = src_c.astype(np.float32) / 255.0
+    depth = src_d.astype(np.float32) / pds * scale
+
+    packed = quantize_frame(color, depth, pds / scale)
+    assert packed is not None
+    c8, d16 = packed
+    np.testing.assert_array_equal(c8, src_c)
+    np.testing.assert_array_equal(d16, src_d)
+    c_dev, d_dev = _dequant_fn(pds, scale)(c8, d16)
+    # XLA may lower /const as a reciprocal multiply: allow 1 ulp
+    np.testing.assert_allclose(np.asarray(c_dev), color, rtol=1.2e-7, atol=0)
+    np.testing.assert_allclose(np.asarray(d_dev), depth, rtol=1.2e-7, atol=0)
+
+
+def test_quantize_frame_clip_guard_and_synthetic_scale():
+    from nice_slam_tpu.utils.datasets import quantize_frame
+
+    depth = np.array([[1.0, 11.0]], np.float32)  # 11 m clips at 6553.5
+    color = np.zeros((1, 2, 3), np.float32)
+    assert quantize_frame(color, depth, 6553.5) is None
+
+    ds = Synthetic(_syn_cfg())
+    pds, scale = ds.upload_quant
+    # scene-derived scale: the room diagonal cannot clip
+    diag = float(np.linalg.norm(ds.room[:, 1] - ds.room[:, 0]))
+    assert diag * pds / scale < 65535.0
+    _, c, d, _ = ds[0]
+    packed = quantize_frame(c, d, pds / scale)
+    assert packed is not None
+    c8, d16 = packed
+    np.testing.assert_allclose(d16.astype(np.float32) / pds * scale, d,
+                               atol=0.6 / pds)
+    np.testing.assert_allclose(c8.astype(np.float32) / 255.0, c,
+                               atol=0.6 / 255.0)
