@@ -42,6 +42,12 @@ import jax.numpy as jnp
 _SEGSUM_MODE = os.environ.get("NICE_SLAM_TPU_SEGSUM", "auto")
 _DGRAD_MODE = os.environ.get("NICE_SLAM_TPU_DGRAD", "block")
 _DGRAD_BF16 = os.environ.get("NICE_SLAM_TPU_DGRAD_BF16", "1") == "1"
+# Small grids (<= this many cells, e.g. the 2 m-voxel coarse grid) take
+# the one-hot-matmul dgrid instead of the scatter: the scatter's ~13 ns/row
+# loop is independent of grid size, while the dense contraction is MXU
+# work proportional to V (NICE_SLAM_TPU_DGRAD=matmul forces it everywhere,
+# =block with VMAX=0 disables it).
+_MATMUL_V_MAX = int(os.environ.get("NICE_SLAM_TPU_DGRAD_MATMUL_VMAX", "4096"))
 
 
 def _trilinear_corners(grid_shape, p_nor):
@@ -208,6 +214,63 @@ def _dgrid_block_scatter(grid_shape, dtype, i0, weights, g):
     return out.reshape(grid_shape)
 
 
+def _dgrid_block_matmul(grid_shape, dtype, i0, weights, g):
+    """dgrid for SMALL grids: the cell-base block reduction as a one-hot
+    matmul on the MXU instead of an XLA scatter.
+
+    The TPU scatter lowering is a serialized ~13 ns/row loop INDEPENDENT
+    of the target grid's size (PERF.md r2), so the coarse grid (~1k cells
+    at 2 m voxels) pays the same ~0.6 ms per 48k-row scatter as the 178k-row
+    fine grid.  For V small enough, computing A = onehot(base)^T @ contribs8
+    is a dense (N x Vp x 8C) contraction — MXU work plus one small output,
+    chunked over N so the materialized one-hot stays VMEM-sized.  The fold
+    (8 shifted adds) is identical to the scatter variant's.
+    """
+    nx, ny, nz, C = grid_shape
+    V = nx * ny * nz
+    offs = [(c & 1) * ny * nz + ((c >> 1) & 1) * nz + ((c >> 2) & 1)
+            for c in range(8)]
+    maxoff = max(offs)
+    base = (i0[:, 0] * ny + i0[:, 1]) * nz + i0[:, 2]
+    buf_dtype = jnp.bfloat16 if (_DGRAD_BF16 and dtype == jnp.float32) else dtype
+    contribs8 = jnp.concatenate(
+        [w[:, None] * g for w in weights], axis=1).astype(buf_dtype)
+    Vp = maxoff + V
+    n = base.shape[0]
+    # pad N to a chunk multiple; padded rows point at a throwaway column
+    chunk = 2048
+    n_pad = (-n) % chunk
+    if n_pad:
+        base = jnp.concatenate([base, jnp.full((n_pad,), -1, jnp.int32)])
+        contribs8 = jnp.concatenate(
+            [contribs8, jnp.zeros((n_pad, contribs8.shape[1]), buf_dtype)])
+    ids = (base + maxoff).reshape(-1, chunk)
+    cb = contribs8.reshape(-1, chunk, contribs8.shape[1])
+
+    # bf16 mode: native MXU bf16 x bf16 -> f32 accumulate.  f32 (exactness)
+    # mode: DEFAULT precision would silently truncate operands to bf16 —
+    # request HIGHEST (the grad-exactness contract of DGRAD_BF16=0).
+    prec = (None if buf_dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+    def step(acc, args):
+        idx, cc = args
+        onehot = (idx[:, None] == jnp.arange(Vp)[None, :]).astype(buf_dtype)
+        acc = acc + jax.lax.dot_general(
+            onehot, cc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        return acc, None
+
+    A0 = jnp.zeros((Vp, contribs8.shape[1]), jnp.float32)
+    A, _ = jax.lax.scan(step, A0, (ids, cb))
+    A = A.astype(buf_dtype)
+    out = jnp.zeros((V, C), dtype)
+    for c, off in enumerate(offs):
+        out = out + jax.lax.dynamic_slice(
+            A, (maxoff - off, c * C), (V, C)).astype(dtype)
+    return out.reshape(grid_shape)
+
+
 def _dgrid_scatter(grid_shape, dtype, flat_idx, contribs):
     """Accumulate (8N, C) corner contributions into the flat grid
     (the 'xla' strategy)."""
@@ -228,7 +291,14 @@ def _trilinear_bwd(res, g):
     idxs = _corner_flat_indices(grid.shape, i0, i1)
 
     if _DGRAD_MODE == "block":
-        dgrid = _dgrid_block_scatter(grid.shape, grid.dtype, i0, weights, g)
+        if nx * ny * nz <= _MATMUL_V_MAX:
+            dgrid = _dgrid_block_matmul(grid.shape, grid.dtype, i0,
+                                        weights, g)
+        else:
+            dgrid = _dgrid_block_scatter(grid.shape, grid.dtype, i0,
+                                         weights, g)
+    elif _DGRAD_MODE == "matmul":
+        dgrid = _dgrid_block_matmul(grid.shape, grid.dtype, i0, weights, g)
     else:
         contribs = jnp.concatenate([w[:, None] * g for w in weights], axis=0)
         flat_idx = jnp.concatenate(idxs, axis=0)

@@ -100,6 +100,9 @@ def test_block_scatter_vjp_matches_autodiff(monkeypatch):
     from nice_slam_tpu.ops import interp as interp_mod
 
     monkeypatch.setattr(interp_mod, "_DGRAD_BF16", False)
+    # pin the SCATTER variant: the test grid is small enough that the
+    # block mode's auto-dispatch would otherwise take the matmul path
+    monkeypatch.setattr(interp_mod, "_MATMUL_V_MAX", 0)
     assert interp_mod._DGRAD_MODE == "block"
     grid = jax.random.normal(jax.random.PRNGKey(21), (6, 9, 7, 8))
     # heavy border coverage: points at/past all 6 faces plus interior
@@ -110,6 +113,34 @@ def test_block_scatter_vjp_matches_autodiff(monkeypatch):
                    [0.0, -3.0, 1.0], [1.0, 0.3, -0.2]]),
     ])
     cot = jax.random.normal(jax.random.PRNGKey(23), (p.shape[0], 8))
+
+    g1 = jax.grad(lambda g, pp: jnp.sum(
+        interp_mod.trilinear_interp_explicit_vjp(g, pp) * cot),
+        argnums=(0, 1))(grid, p)
+    g2 = jax.grad(lambda g, pp: jnp.sum(
+        interp_mod._trilinear_impl(g, pp) * cot), argnums=(0, 1))(grid, p)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
+
+
+def test_block_matmul_vjp_matches_autodiff(monkeypatch):
+    """Small grids (e.g. the 2 m-voxel coarse grid) take the one-hot
+    MATMUL dgrid instead of the scatter (the TPU scatter loop costs
+    ~13 ns/row regardless of grid size; a dense MXU contraction wins for
+    V <= _MATMUL_V_MAX).  Must be grad-exact vs autodiff in f32 mode,
+    including border clamps and the N-padding of the chunked contraction."""
+    from nice_slam_tpu.ops import interp as interp_mod
+
+    monkeypatch.setattr(interp_mod, "_DGRAD_BF16", False)
+    grid = jax.random.normal(jax.random.PRNGKey(31), (6, 9, 7, 8))
+    assert 6 * 9 * 7 <= interp_mod._MATMUL_V_MAX  # auto-dispatch applies
+    p = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(32), (173, 3), minval=-1.6,
+                           maxval=1.6),  # odd N: exercises chunk padding
+        jnp.array([[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0], [2.0, 0.0, 0.0],
+                   [0.0, -3.0, 1.0], [1.0, 0.3, -0.2]]),
+    ])
+    cot = jax.random.normal(jax.random.PRNGKey(33), (p.shape[0], 8))
 
     g1 = jax.grad(lambda g, pp: jnp.sum(
         interp_mod.trilinear_interp_explicit_vjp(g, pp) * cot),
