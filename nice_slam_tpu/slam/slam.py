@@ -339,10 +339,13 @@ class NiceSLAM:
         n_img = self.n_img
         upload_full = make_frame_uploader(self.frame_reader)
 
+        presample = os.environ.get("NICE_SLAM_TPU_PRESAMPLE", "1") == "1"
+
         def packer(item):
             idx, color, depth, c2w = item
             will_map = idx % every == 0 or idx == n_img - 1
-            full = (idx == 0 or will_map or idx % vf == 0 or tcfg.gt_camera)
+            full = (idx == 0 or will_map or idx % vf == 0 or tcfg.gt_camera
+                    or not presample)
             if full:
                 color_d, depth_d = upload_full(color, depth)
                 return (idx, color_d, depth_d, c2w, None)

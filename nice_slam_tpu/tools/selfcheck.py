@@ -101,6 +101,12 @@ def main() -> None:
         help="skip the pretrained ConvONet decoder import (scratch init): "
              "the pretrained-vs-scratch A/B lever (RESULTS.md)")
     parser.add_argument(
+        "--seed", type=int, default=None,
+        help="override cfg seed (tracker pixel streams + keyframe "
+             "selection): the tracked-ATE spread measurement lever "
+             "(RESULTS.md) — 30-frame sweeps vary by a few cm across "
+             "pixel-draw streams")
+    parser.add_argument(
         "--record", type=str, default=None,
         help="merge the summary into this JSON file under a key derived "
              "from the run kind (tracked/gt_tour/imap...); "
@@ -148,6 +154,8 @@ def main() -> None:
         cfg["pretrained_decoders"] = {"coarse": "", "middle_fine": ""}
     if args.keyframe_every is not None:
         cfg["mapping"]["keyframe_every"] = args.keyframe_every
+    if args.seed is not None:
+        cfg["seed"] = args.seed
 
     ns = argparse.Namespace(nice=not args.imap, input_folder=None,
                             output=None)
@@ -197,6 +205,8 @@ def main() -> None:
             kind += "_scratch"
         if args.keyframe_every is not None:
             kind += f"_kf{args.keyframe_every}"
+        if args.seed is not None:
+            kind += f"_s{args.seed}"
         book = {}
         if os.path.exists(args.record):
             with open(args.record) as f:
