@@ -48,6 +48,9 @@ _DGRAD_BF16 = os.environ.get("NICE_SLAM_TPU_DGRAD_BF16", "1") == "1"
 # work proportional to V (NICE_SLAM_TPU_DGRAD=matmul forces it everywhere,
 # =block with VMAX=0 disables it).
 _MATMUL_V_MAX = int(os.environ.get("NICE_SLAM_TPU_DGRAD_MATMUL_VMAX", "4096"))
+# Measurement-only knob (0 = off): cap the block scatter's row count to
+# isolate its in-context cost — see _dgrid_block_scatter.
+_ROWS_CAP = int(os.environ.get("NICE_SLAM_TPU_DGRAD_ROWS_CAP", "0"))
 
 
 def _trilinear_corners(grid_shape, p_nor):
@@ -206,6 +209,12 @@ def _dgrid_block_scatter(grid_shape, dtype, i0, weights, g):
     buf_dtype = jnp.bfloat16 if (_DGRAD_BF16 and dtype == jnp.float32) else dtype
     contribs8 = jnp.concatenate(
         [w[:, None] * g for w in weights], axis=1).astype(buf_dtype)
+    if _ROWS_CAP and base.shape[0] > _ROWS_CAP:
+        # MEASUREMENT ONLY (numerically wrong): scatter just the first K
+        # rows, preserving the op structure — isolates the per-row scatter
+        # cost inside the real mapping step (PERF.md r3 floor analysis).
+        base = base[:_ROWS_CAP]
+        contribs8 = contribs8[:_ROWS_CAP]
     A = jnp.zeros((maxoff + V, 8 * C), buf_dtype).at[base + maxoff].add(contribs8)
     out = jnp.zeros((V, C), dtype)
     for c, off in enumerate(offs):
@@ -299,6 +308,11 @@ def _trilinear_bwd(res, g):
                                          weights, g)
     elif _DGRAD_MODE == "matmul":
         dgrid = _dgrid_block_matmul(grid.shape, grid.dtype, i0, weights, g)
+    elif _DGRAD_MODE == "none":
+        # MEASUREMENT ONLY: zero grid gradient (numerically wrong) — the
+        # A/B that isolates the dgrid scatter's share of the mapping step
+        # (PERF.md r3 scatter-floor analysis).  Never set in production.
+        dgrid = jnp.zeros(grid.shape, grid.dtype)
     else:
         contribs = jnp.concatenate([w[:, None] * g for w in weights], axis=0)
         flat_idx = jnp.concatenate(idxs, axis=0)

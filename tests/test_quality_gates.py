@@ -40,7 +40,11 @@ GATES = {
                 "depth_l1_cm": ("<=", 0.5),
                 "completion_ratio_pct": (">=", 98.0)},
     "imap": {"accuracy_cm": ("<=", 10.0),
-             "depth_l1_cm": ("<=", 15.0)},
+             "depth_l1_cm": ("<=", 6.0)},
+    # the measured-best iMAP* operating point on the tour (see RESULTS.md
+    # 3b): keyframe_every=25 balances rehearsal span vs anchor density
+    "imap_kf25": {"accuracy_cm": ("<=", 7.0),
+                  "depth_l1_cm": ("<=", 5.0)},
 }
 
 
