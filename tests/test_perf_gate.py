@@ -5,9 +5,13 @@ records the JSON line in ``BENCH_r{N}.json``.  This gate asserts the most
 recent recorded benchmark stays above the achieved floors, so a silent 2x
 mapping/step-time regression ships a red suite instead of a green one.
 
-Floors are set at ~2/3 of round-2's achieved numbers (9.83 e2e FPS,
-7.1 ms/mapping-iter, 1557 tracking FPS) — far above the paper baseline
-(0.49 FPS e2e) but loose enough for tunnel variance.
+Floors are set against round-3's HONEST measured semantics (BENCH_r03:
+7.94 e2e FPS on the real strict loop, 69.4 tracking wall-FPS/frame
+including per-frame host+tunnel cost, 6.38 ms/mapping-iter) at roughly
+2/3 of the achieved numbers — far above the paper baseline (0.49 FPS
+e2e, ~47 ms/tracking-iter, ~130 ms/mapping-iter) but loose enough for
+tunnel variance.  Round 2's 1557 "tracking FPS" was a pipelined-dispatch
+fiction (PERF.md r3); a floor derived from it would be red forever.
 """
 
 import glob
@@ -20,7 +24,7 @@ import pytest
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 E2E_FPS_FLOOR = 6.5
-TRACKING_FPS_FLOOR = 700.0
+TRACKING_FPS_FLOOR = 45.0
 MAPPING_MS_PER_ITER_CEIL = 11.0
 
 

@@ -9,9 +9,11 @@ a green one.  Bounds sit between the achieved value and ~1.5x of it —
 loose enough for RNG/selection variance (the orbit seed is fixed), tight
 enough that a real quality regression trips them.
 
-Achieved (round 3, RESULTS.md):
-  * tracked 30-frame sweep:   ATE median ~4.8 cm -> median gate 6.5 cm,
-                              per-seed gate 9.5 cm.  The 30-frame sweep is
+Achieved (round 3, RESULTS.md / QUALITY.json):
+  * tracked 30-frame sweep:   ATE family median 5.9 cm -> median gate
+                              6.5 cm, per-seed gate 9.5 cm.  (Family =
+                              tracked + tracked_s0/s1/s2: 3.7/5.0/6.9/6.9.)
+                              The 30-frame sweep is
                               chaotically sensitive: epsilon perturbations
                               (pixel RNG stream, u8/u16 frame quantization)
                               move a single run across 3.5-6.9 cm (measured
@@ -23,7 +25,9 @@ Achieved (round 3, RESULTS.md):
                               depth-L1 0.19 cm   -> gate 0.5 cm
                               completion 0.83 cm -> gate 1.5 cm
   * iMAP* tour:               acc 6.7 cm         -> gate 10 cm
-                              depth-L1 9.6 cm    -> gate 15 cm
+                              depth-L1 3.9 cm    -> gate 6 cm
+    (QUALITY.json 'imap' IS the keyframe_every=5 default; the sweep
+    variants are imap_kf10/25/50 — kf25 is the measured optimum.)
 """
 
 import json
