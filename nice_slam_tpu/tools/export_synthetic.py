@@ -149,8 +149,45 @@ def export_tum(out: str, cfg: Dict, fps: float = 30.0) -> None:
         f.write("# ground truth trajectory\n" + "\n".join(gt_rows) + "\n")
 
 
+def export_cofusion(out: str, cfg: Dict) -> None:
+    """CoFusion layout: colour/*.png + float EXR depth in depth_noise/
+    (reference reader contract: src/utils/datasets.py:211-231; poses are
+    identity proxies there, so none are written)."""
+    from nice_slam_tpu.utils.exr import write_exr
+
+    os.makedirs(os.path.join(out, "colour"), exist_ok=True)
+    os.makedirs(os.path.join(out, "depth_noise"), exist_ok=True)
+    for i, color, depth, _ in _frames(cfg):
+        _write_color_png(os.path.join(out, "colour", f"Color{i:04d}.png"),
+                         color)
+        write_exr(os.path.join(out, "depth_noise", f"Depth{i:04d}.exr"),
+                  {"Z": depth.astype(np.float32)})
+
+
+def export_azure(out: str, cfg: Dict) -> None:
+    """Azure Kinect layout: color/*.jpg + depth/*.png + an Open3D
+    trajectory.log under scene/ (reference reader contract:
+    src/utils/datasets.py:140-178: 5 lines per pose — metadata triple +
+    4 matrix rows)."""
+    os.makedirs(os.path.join(out, "color"), exist_ok=True)
+    os.makedirs(os.path.join(out, "depth"), exist_ok=True)
+    os.makedirs(os.path.join(out, "scene"), exist_ok=True)
+    scale = cfg["cam"]["png_depth_scale"]
+    rows = []
+    for i, color, depth, c2w in _frames(cfg):
+        _write_color_jpg(os.path.join(out, "color", f"{i:05d}.jpg"), color)
+        _write_depth_png(os.path.join(out, "depth", f"{i:05d}.png"),
+                         depth, scale)
+        rows.append(f"{i} {i} {i + 1}")
+        for r in _unflip(c2w):
+            rows.append(" ".join(f"{v:.9f}" for v in r))
+    with open(os.path.join(out, "scene", "trajectory.log"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+
 EXPORTERS = {"replica": export_replica, "tum": export_tum,
-             "scannet": export_scannet}
+             "scannet": export_scannet, "cofusion": export_cofusion,
+             "azure": export_azure}
 
 
 def main() -> None:

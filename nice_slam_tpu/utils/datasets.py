@@ -33,13 +33,19 @@ from nice_slam_tpu.ops.geometry import as_intrinsics_matrix
 def readEXR_onlydepth(filename: str) -> np.ndarray:
     """Depth channel from an EXR file (CoFusion).
 
-    Uses OpenCV's EXR support (the reference used the OpenEXR package,
-    src/utils/datasets.py:12-44).  Requires OPENCV_IO_ENABLE_OPENEXR=1.
-    """
+    Tries OpenCV's EXR support first (requires an EXR-enabled cv2 build
+    and OPENCV_IO_ENABLE_OPENEXR=1), then falls back to the bundled
+    scanline-EXR codec (utils/exr.py) — the reference used the OpenEXR
+    package instead (src/utils/datasets.py:12-44)."""
     os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
-    img = cv2.imread(filename, cv2.IMREAD_UNCHANGED)
+    try:
+        img = cv2.imread(filename, cv2.IMREAD_UNCHANGED)
+    except cv2.error:
+        img = None
     if img is None:
-        raise IOError(f"cannot read EXR depth {filename}")
+        from nice_slam_tpu.utils.exr import read_exr_depth
+
+        return read_exr_depth(filename)
     if img.ndim == 3:
         img = img[..., 0]
     return img.astype(np.float32)
