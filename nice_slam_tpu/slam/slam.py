@@ -168,6 +168,14 @@ class NiceSLAM:
         self.mapping_cnt = 0
         self.mapping_first_frame = 0
         self._state_lock = threading.Lock()
+        # Guards the device pose list (_est_dev) read->dispatch->assign
+        # windows: in loose/free the tracker thread replaces the whole list
+        # (its step threads the list through the device program) while the
+        # mapper thread point-writes BA pose updates — unguarded, a BA
+        # write landing inside the tracker's window is silently lost.
+        # Strict is single-threaded so the lock is uncontended there; every
+        # hold is an async dispatch (no device sync under the lock).
+        self._est_lock = threading.RLock()
 
         # configs
         self.rcfg = RenderConfig.from_cfg(cfg)
@@ -186,6 +194,16 @@ class NiceSLAM:
         if self.coarse:
             ccfg = MapperConfig.from_cfg(cfg, self.cam, self.nice, True)
             self.coarse_mapper = Mapper(self.spec, ccfg, self.rcfg, seed=7)
+            # pin the coarse mapper to its own chip when one is available:
+            # coarse and main mapping share no grids, so the strict loop's
+            # back-to-back dispatch executes them concurrently (reference
+            # overlaps them as separate processes, src/NICE_SLAM.py:288-307)
+            devs = jax.devices()
+            if (len(devs) > 1 and self.spatial_mesh is None
+                    and os.environ.get("NICE_SLAM_TPU_COARSE_DEVICE", "1")
+                    == "1"):
+                self.coarse_mapper.device = devs[-1]
+                self.coarse_mapper.mesh = None  # dedicated chip, no ray DP
 
         self.logger = Logger(self.output, self.spec, self.verbose)
 
@@ -296,25 +314,28 @@ class NiceSLAM:
     def _flush_est(self) -> None:
         """Synchronize the host estimate_c2w_list mirror from the device
         list (one fetch; called at ckpt/vis/mesh/end boundaries only)."""
-        if self._est_dev is not None:
-            self.estimate_c2w_list[:] = np.asarray(self._est_dev)
+        with self._est_lock:
+            if self._est_dev is not None:
+                self.estimate_c2w_list[:] = np.asarray(self._est_dev)
 
     def _record_est(self, idx: int, c2w) -> None:
         """Record a tracked/updated pose.  Host values land in both lists;
         device values stay on device (mirror flushed lazily)."""
-        if isinstance(c2w, np.ndarray):
-            self.estimate_c2w_list[idx] = c2w
-            if self._est_dev is not None:
-                self._est_dev = self._est_dev.at[idx].set(jnp.asarray(c2w))
-        else:
-            self._est_dev = self._est_dev.at[idx].set(c2w)
+        with self._est_lock:
+            if isinstance(c2w, np.ndarray):
+                self.estimate_c2w_list[idx] = c2w
+                if self._est_dev is not None:
+                    self._est_dev = self._est_dev.at[idx].set(jnp.asarray(c2w))
+            else:
+                self._est_dev = self._est_dev.at[idx].set(c2w)
 
     def _cur_est(self, idx: int):
         """The current pose of ``idx`` for mapping: device slice on the
         fast path, host copy otherwise."""
-        if self._est_dev is not None:
-            return self._est_dev[idx]
-        return self.estimate_c2w_list[idx].copy()
+        with self._est_lock:
+            if self._est_dev is not None:
+                return self._est_dev[idx]
+            return self.estimate_c2w_list[idx].copy()
 
     # ------------------------------------------------------------------
     # Tracking
@@ -383,10 +404,12 @@ class NiceSLAM:
         pc = np.stack([p.color for _, p, _ in self._pend])
         with self._state_lock:
             state = self.state
-        (self._est_dev, cands, _, inits, losses) = tracked_frames_step_sampled(
-            self.spec, state, self._est_dev, np.int32(idx0),
-            pi, pj, pd, pc, self.tcfg, self.rcfg,
-        )
+        with self._est_lock:
+            (self._est_dev, cands, _, inits, losses) = \
+                tracked_frames_step_sampled(
+                    self.spec, state, self._est_dev, np.int32(idx0),
+                    pi, pj, pd, pc, self.tcfg, self.rcfg,
+                )
         if self.verbose:
             l = np.asarray(losses)
             inits_np = np.asarray(inits)
@@ -456,14 +479,15 @@ class NiceSLAM:
                 sel_cam = (m.H, m.W, m.fx, m.fy, m.cx, m.cy)
             with self._state_lock:
                 state = self.state
-            (self._est_dev, candidate, c2w, init_tensor, losses, cams,
-             scores_dev) = tracked_frame_step(
-                self.spec, state, self._est_dev, idx,
-                jnp.asarray(gt_color), jnp.asarray(gt_depth),
-                self._track_base, self._sel_base,
-                self.keyframes.arrays.est_c2w, self.tcfg, self.rcfg,
-                use_cs, sel_cam,
-            )
+            with self._est_lock:
+                (self._est_dev, candidate, c2w, init_tensor, losses, cams,
+                 scores_dev) = tracked_frame_step(
+                    self.spec, state, self._est_dev, idx,
+                    jnp.asarray(gt_color), jnp.asarray(gt_depth),
+                    self._track_base, self._sel_base,
+                    self.keyframes.arrays.est_c2w, self.tcfg, self.rcfg,
+                    use_cs, sel_cam,
+                )
             if scores_dev is not None:
                 self.mapper._pending_selection = [idx, n_kf, scores_dev]
                 from nice_slam_tpu.slam.mapper import _DEVICE_SELECT
@@ -630,7 +654,17 @@ class NiceSLAM:
                     # into the authoritative state (the main mapper may have
                     # advanced the other grids concurrently in loose/free)
                     grids = dict(self.state.grids)
-                    grids["grid_coarse"] = new_state.grids["grid_coarse"]
+                    gc = new_state.grids["grid_coarse"]
+                    if mapper.device is not None:
+                        # dedicated-chip coarse mapper: bring the updated
+                        # grid back to the main state's placement (async) —
+                        # match a MAIN grid's live sharding (the ray-DP
+                        # path keeps main-state arrays replicated over the
+                        # mesh, so the old coarse sharding can be stale)
+                        ref = next(v for k, v in self.state.grids.items()
+                                   if k != "grid_coarse")
+                        gc = jax.device_put(gc, ref.sharding)
+                    grids["grid_coarse"] = gc
                     self.state = self.state._replace(grids=grids)
                 else:
                     grids = dict(new_state.grids)
@@ -766,7 +800,16 @@ class NiceSLAM:
         Frame IO: the tracker consumes a background Prefetcher (sequential
         access, same as the strict loop) and publishes each frame to a small
         shared cache the mappers read instead of re-hitting the disk — the
-        mappers' access pattern is "a frame the tracker just produced"."""
+        mappers' access pattern is "a frame the tracker just produced".
+
+        The tracker thread runs the same engineering as the strict loop
+        (device pose list -> fused per-frame module, u8/u16 quantized
+        uploads); before any thread spawns, the first frames run on the
+        MAIN thread so the big jit signatures (init mapping, non-init
+        mapping, tracking module) compile serially — concurrent cold
+        compiles from two threads crashed the XLA compile/cache path
+        (utils/compile_guard.py holds the backstop lock for signatures
+        that only appear mid-run, e.g. BA engaging at 5 keyframes)."""
         from nice_slam_tpu.utils.datasets import Prefetcher
 
         every = self.mcfg.every_frame
@@ -787,22 +830,58 @@ class NiceSLAM:
                 for k in [k for k in frame_cache if k < idx - 2 * every]:
                     del frame_cache[k]
 
+        errors: list = []
+        abort = threading.Event()
+        self._abort = abort
+
+        upload_full = make_frame_uploader(self.frame_reader)
+
+        def quant_pack(item):
+            idx, c, d, p = item
+            cd, dd = upload_full(c, d)
+            return idx, cd, dd, p
+
+        # ---- main-thread warmup: frame 0 init mapping, the first two
+        # tracked frames (use_cs False and True signatures), and one
+        # non-init mapping event.  With the stock every_frame=5 this IS the
+        # loose schedule's own prefix (first remap at idx >= 2); for other
+        # cadences it adds at most one early mapping event, which only
+        # spends extra optimization on a valid frame.
+        try:
+            idx0 = self.idx
+            self.enable_device_pose_list()
+            _, c0, d0, p0 = self.frame_reader[idx0]
+            publish_frame(idx0, c0, d0, p0)
+            if idx0 == 0:  # fresh start: anchor frame 0 at GT (resume
+                self._record_est(0, np.asarray(p0, np.float32))  # keeps its
+                self.gt_c2w_list[0] = np.asarray(p0)  # restored estimate)
+            self.map_one(idx0, c0, d0, p0, init=True)
+            if self.coarse_mapper is not None:
+                self.map_one(idx0, c0, d0, p0, init=True, coarse=True)
+            warm_last = idx0
+            for t in (idx0 + 1, idx0 + 2):
+                if t >= self.n_img:
+                    break
+                _, ct, dt, pt = self.frame_reader[t]
+                cd, dd = upload_full(ct, dt)
+                publish_frame(t, cd, dd, pt)
+                self.track_one(t, cd, dd, pt)
+                warm_last = t
+            warm_map = idx0
+            if warm_last > idx0:
+                gc, gd, gp = read_frame(warm_last)
+                self.map_one(warm_last, gc, gd, gp, init=False)
+                if self.coarse_mapper is not None and warm_last != self.n_img - 1:
+                    self.map_one(warm_last, gc, gd, gp, init=False, coarse=True)
+                warm_map = warm_last
+        except Exception as e:  # same contract as a thread failure
+            raise RuntimeError(f"SLAM thread failed: {e!r}") from e
+
         def tracker_thread():
-            upload_full = make_frame_uploader(self.frame_reader)
-
-            def quant_pack(item):
-                idx, c, d, p = item
-                cd, dd = upload_full(c, d)
-                return idx, cd, dd, p
-
             prefetch = Prefetcher(self.frame_reader, depth=3,
-                                  start=max(1, self._start_idx),
+                                  start=warm_last + 1,
                                   packer=quant_pack)
             try:
-                while self.mapping_first_frame == 0:
-                    if self._abort.is_set():
-                        return
-                    time.sleep(0.005)
                 for idx, gt_color, gt_depth, gt_c2w in prefetch:
                     publish_frame(idx, gt_color, gt_depth, gt_c2w)
                     if self.sync_method == "loose":
@@ -817,31 +896,26 @@ class NiceSLAM:
                 prefetch.close()
 
         def mapper_thread(coarse: bool):
-            prev = -1
-            first = True
+            prev = warm_map
             while True:
                 if self._abort.is_set():
                     return
+                if prev == self.n_img - 1:
+                    return
                 idx = self.idx
-                if idx == self.n_img - 1 and not first:
-                    pass  # final frame: map it below
+                if idx == self.n_img - 1:
+                    pass  # final frame: always map it
                 elif self.sync_method == "loose":
-                    if not (idx == 0 or idx >= prev + every // 2):
+                    if not (idx >= prev + every // 2):
                         time.sleep(0.005)
                         continue
-                elif self.sync_method == "free":
-                    pass
-                if idx == prev and idx != self.n_img - 1:
+                if idx == prev:
                     time.sleep(0.005)
                     continue
                 prev = idx
                 gt_color, gt_depth, gt_c2w = read_frame(idx)
-                if first:
-                    self.estimate_c2w_list[0] = np.asarray(gt_c2w)
-                    self.gt_c2w_list[0] = np.asarray(gt_c2w)
-                self.map_one(idx, gt_color, gt_depth, gt_c2w, init=first,
+                self.map_one(idx, gt_color, gt_depth, gt_c2w, init=False,
                              coarse=coarse)
-                first = False
                 if idx == self.n_img - 1:
                     return
 
@@ -849,10 +923,6 @@ class NiceSLAM:
         # (src/Tracker.py:165-172, SURVEY.md §5.3).  Here every thread
         # records its exception and trips a shared abort flag the pollers
         # also watch, so failures surface instead of hanging.
-        errors: list = []
-        abort = threading.Event()
-        self._abort = abort
-
         def guarded(fn, *fargs):
             def run():
                 try:
