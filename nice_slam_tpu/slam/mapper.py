@@ -746,6 +746,12 @@ class Mapper:
             from nice_slam_tpu.parallel.sharding import make_mesh
 
             self.mesh = make_mesh()
+        # when set, the whole optimize_map computation runs on this single
+        # device: the coarse mapper is pinned to its own chip so the strict
+        # loop's back-to-back main+coarse dispatch executes concurrently
+        # (the reference overlaps them as separate GPU processes,
+        # src/NICE_SLAM.py:288-307); all input copies are async D2D
+        self.device = None
         # runtime-adjustable copies (color refinement rewrites these,
         # reference :578-586)
         self.mapping_window_size = mcfg.mapping_window_size
@@ -940,6 +946,15 @@ class Mapper:
         # inside the grid lookup) — don't also shard the ray batch over it
         ray_mesh = self.mesh
         if any(hasattr(gr, "slabs") for gr in state.grids.values()):
+            ray_mesh = None
+        if self.device is not None:
+            # dedicated-chip mapper: move every jit input to that device
+            # (async D2D; on TPU the copies ride ICI) and skip ray DP —
+            # the point is concurrency with the main mapper, not width
+            (cur_state, colors, depths, fixed_c2w, cur_cams, opt_mask_j,
+             frame_valid_j) = jax.device_put(
+                (cur_state, colors, depths, fixed_c2w, cur_cams,
+                 opt_mask_j, frame_valid_j), self.device)
             ray_mesh = None
         # ONE key per logical optimize_map call: per-iteration keys are
         # folded from (call key, global iteration) inside the jit, so every
