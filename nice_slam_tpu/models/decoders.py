@@ -240,7 +240,11 @@ def embed_points(params: Params, spec: MLPSpec, p: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _dense(layer: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
+    # weights follow the activation dtype (bf16 activations keep the MXU
+    # in its native mode instead of promoting the whole matmul to f32);
+    # accumulation stays f32 either way
+    return jnp.dot(x, layer["w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32) + layer["b"]
 
 
 def apply_mlp(
@@ -250,13 +254,20 @@ def apply_mlp(
     grids: Optional[Dict[str, jnp.ndarray]],
     bound: Optional[jnp.ndarray],
     sample_fn=sample_grid_feature,
+    act_bf16: bool = False,
 ) -> jnp.ndarray:
     """Run one grid-conditioned decoder on (N, 3) world points.
 
     Returns (N,) occupancy or (N, 4) rgb+occ depending on ``spec.color``.
     Mirrors reference decoder.py:177-203 — per-block feature injection is
     additive AFTER the relu; the skip concatenates the embedded points.
+
+    ``act_bf16``: carry activations (embedding, grid features, hidden
+    states) in bfloat16 — halves the HBM bytes of the residuals autodiff
+    saves for the backward pass; matmuls still accumulate f32 and the
+    output head returns f32 (PERF.md r4 A/B).
     """
+    adt = jnp.bfloat16 if act_bf16 else p.dtype
     feat = None
     if spec.c_dim != 0:
         feat = sample_fn(grids["grid_" + spec.name], p, bound)
@@ -267,13 +278,15 @@ def apply_mlp(
                 sample_fn(grids["grid_middle"], p, bound)
             )
             feat = jnp.concatenate([feat, feat_mid], axis=-1)
+        feat = feat.astype(adt)
 
-    embedded = embed_points(params, spec, p)
+    embedded = embed_points(params, spec, p).astype(adt)
     h = embedded
     for i, layer in enumerate(params["pts_linears"]):
         h = jax.nn.relu(_dense(layer, h))
         if spec.c_dim != 0:
             h = h + _dense(params["fc_c"][i], feat)
+        h = h.astype(adt)
         if i in spec.skips:
             h = jnp.concatenate([embedded, h], axis=-1)
     out = _dense(params["output_linear"], h)
@@ -289,16 +302,18 @@ def apply_mlp_no_xyz(
     grids: Dict[str, jnp.ndarray],
     bound: jnp.ndarray,
     sample_fn=sample_grid_feature,
+    act_bf16: bool = False,
 ) -> jnp.ndarray:
     """Coarse decoder: the grid feature IS the input (no point embedding).
 
     Mirrors reference decoder.py:262-274.  ``bound`` here is the enlarged
     coarse bound (reference src/NICE_SLAM.py:157).
     """
-    feat = sample_fn(grids["grid_" + spec.name], p, bound)
+    adt = jnp.bfloat16 if act_bf16 else p.dtype
+    feat = sample_fn(grids["grid_" + spec.name], p, bound).astype(adt)
     h = feat
     for i, layer in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(_dense(layer, h))
+        h = jax.nn.relu(_dense(layer, h)).astype(adt)
         if i in spec.skips:
             h = jnp.concatenate([feat, h], axis=-1)
     out = _dense(params["output_linear"], h)
@@ -361,12 +376,18 @@ def apply_nice_stage_batched(
     bound: jnp.ndarray,
     stage: str,
     sample_fn=sample_grid_feature,
+    act_bf16: bool = False,
 ) -> jnp.ndarray:
     """Batched fine/color stage forward — same outputs as apply_nice up to
     f32 summation-order noise (the Fourier embedding amplifies ulp-level
-    scheduling differences; see ops/fused.py numerics note)."""
+    scheduling differences; see ops/fused.py numerics note).
+
+    ``act_bf16``: bfloat16 activations/stacked weights (halves the bytes of
+    autodiff's saved residuals and the per-iteration weight stacks; f32
+    accumulation, f32 output head — PERF.md r4 A/B)."""
     assert stage in ("fine", "color")
     assert spec.pos_embedding_method == "fourier"
+    adt = jnp.bfloat16 if act_bf16 else p.dtype
     subs = spec.sub_specs()
     names = ["middle", "fine"] + (["color"] if stage == "color" else [])
     plist = [params[n] for n in names]
@@ -385,12 +406,13 @@ def apply_nice_stage_batched(
     if stage == "color":
         color_feat = sample_fn(grids["grid_color"], p, bound)
         feats.append(jnp.pad(color_feat, ((0, 0), (0, fw - spec.c_dim))))
-    feat = jnp.stack(feats)  # (D, N, fw)
+    feat = jnp.stack(feats).astype(adt)  # (D, N, fw)
 
     # embeddings
     B = jnp.stack([pp["embedder_B"] for pp in plist])  # (D, 3, 93)
     emb = jnp.sin(jnp.einsum("np,dpe->dne", p, B,
-                             preferred_element_type=jnp.float32))  # (D, N, 93)
+                             preferred_element_type=jnp.float32)
+                  ).astype(adt)  # (D, N, 93)
 
     # stacked weights (zero-padded rows to match contiguous packing)
     Ws, bs = _stack_pts_weights(plist, _BATCH_IN_WIDTH)
@@ -416,12 +438,17 @@ def apply_nice_stage_batched(
         for pp in plist
     ])
 
+    if act_bf16:
+        Ws = [w.astype(adt) for w in Ws]
+        Wc = [w.astype(adt) for w in Wc]
+        Wo = Wo.astype(adt)
+
     emb_w = emb.shape[-1]
     x = jnp.pad(emb, ((0, 0), (0, 0), (0, _BATCH_IN_WIDTH - emb_w)))
     h = None
     for blk in range(len(Ws)):
         h = jax.nn.relu(_dbmm(x, Ws[blk]) + bs[blk][:, None, :])
-        h = h + _dbmm(feat, Wc[blk]) + bc[blk][:, None, :]
+        h = (h + _dbmm(feat, Wc[blk]) + bc[blk][:, None, :]).astype(adt)
         if blk in subs["middle"].skips:
             x = jnp.pad(
                 jnp.concatenate([emb, h], axis=-1),
@@ -448,6 +475,7 @@ def apply_nice(
     coarse_bound: jnp.ndarray,
     stage: str,
     sample_fn=sample_grid_feature,
+    act_bf16: bool = False,
 ) -> jnp.ndarray:
     """Stage-dispatched forward of the NICE decoder stack -> (N, 4) raw.
 
@@ -464,26 +492,26 @@ def apply_nice(
     n = p.shape[0]
     if stage == "coarse":
         occ = apply_mlp_no_xyz(params["coarse"], subs["coarse"], p, grids,
-                               coarse_bound, sample_fn)
+                               coarse_bound, sample_fn, act_bf16)
         return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
     if stage == "middle":
         occ = apply_mlp(params["middle"], subs["middle"], p, grids, bound,
-                        sample_fn)
+                        sample_fn, act_bf16)
         return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
     if stage == "fine":
         fine_occ = apply_mlp(params["fine"], subs["fine"], p, grids, bound,
-                             sample_fn)
+                             sample_fn, act_bf16)
         middle_occ = apply_mlp(params["middle"], subs["middle"], p, grids,
-                               bound, sample_fn)
+                               bound, sample_fn, act_bf16)
         occ = fine_occ + middle_occ
         return jnp.concatenate([jnp.zeros((n, 3), p.dtype), occ[:, None]], axis=-1)
     if stage == "color":
         raw = apply_mlp(params["color"], subs["color"], p, grids, bound,
-                        sample_fn)
+                        sample_fn, act_bf16)
         fine_occ = apply_mlp(params["fine"], subs["fine"], p, grids, bound,
-                             sample_fn)
+                             sample_fn, act_bf16)
         middle_occ = apply_mlp(params["middle"], subs["middle"], p, grids,
-                               bound, sample_fn)
+                               bound, sample_fn, act_bf16)
         occ = fine_occ + middle_occ
         return jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
     raise ValueError(f"unknown stage {stage}")
@@ -497,7 +525,8 @@ def init_nice(key: jax.Array, spec: NICESpec) -> Dict[str, Params]:
 
 
 def apply_imap(
-    params: Params, spec: MLPSpec, p: jnp.ndarray
+    params: Params, spec: MLPSpec, p: jnp.ndarray, act_bf16: bool = False
 ) -> jnp.ndarray:
     """iMAP* single-MLP forward -> (N, 4) rgb + volume density."""
-    return apply_mlp(params, spec, p, grids=None, bound=None)
+    return apply_mlp(params, spec, p, grids=None, bound=None,
+                     act_bf16=act_bf16)

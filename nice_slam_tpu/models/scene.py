@@ -108,6 +108,7 @@ def eval_points(
     stage: str = "color",
     batched: bool = True,
     sample_fn=None,
+    act_bf16: bool = False,
 ) -> jnp.ndarray:
     """Decode (N, 3) world points -> (N, 4) raw rgb+occ.
 
@@ -132,15 +133,15 @@ def eval_points(
                 and spec.decoder.pos_embedding_method == "fourier"):
             raw = D.apply_nice_stage_batched(
                 state.decoders, spec.decoder, p, state.grids, state.bound,
-                stage, sample_fn,
+                stage, sample_fn, act_bf16,
             )
         else:
             raw = D.apply_nice(
                 state.decoders, spec.decoder, p, state.grids,
-                state.bound, state.coarse_bound, stage, sample_fn,
+                state.bound, state.coarse_bound, stage, sample_fn, act_bf16,
             )
     else:
-        raw = D.apply_imap(state.decoders, spec.decoder, p)
+        raw = D.apply_imap(state.decoders, spec.decoder, p, act_bf16)
 
     lo, hi = state.bound[:, 0], state.bound[:, 1]
     inside = jnp.all((p > lo) & (p < hi), axis=-1)

@@ -95,6 +95,7 @@ def render_batch_ray(
     key: Optional[jax.Array] = None,
     rcfg: RenderConfig = RenderConfig(),
     sample_fn=None,
+    act_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Render depth / uncertainty / color for a fixed-size ray batch.
 
@@ -155,7 +156,7 @@ def render_batch_ray(
     def _eval(z):
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
         raw = eval_points(spec, state, pts.reshape(-1, 3), stage,
-                          sample_fn=sample_fn)
+                          sample_fn=sample_fn, act_bf16=act_bf16)
         return raw.reshape(z.shape[0], z.shape[1], 4)
 
     raw = _eval(z_vals)
@@ -247,6 +248,7 @@ def regulation(
     key: jax.Array,
     N_samples: int,
     stage: str = "color",
+    act_bf16: bool = False,
 ) -> jnp.ndarray:
     """iMAP* free-space regulariser: sampled volume densities in
     [0, 0.85*depth] along each ray (reference: Renderer.py:258-296)."""
@@ -255,5 +257,6 @@ def regulation(
     far = gt_depth * 0.85
     z_vals = _stratified_z(key, near, far, N_samples, lindisp=False, perturb=1.0)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    raw = eval_points(spec, state, pts.reshape(-1, 3), stage)
+    raw = eval_points(spec, state, pts.reshape(-1, 3), stage,
+                      act_bf16=act_bf16)
     return raw[:, 3]

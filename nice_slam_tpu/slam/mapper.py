@@ -56,6 +56,12 @@ LR_KEYS = ("decoders_lr", "coarse_lr", "middle_lr", "fine_lr", "color_lr")
 # host-side np.random selection.
 _DEVICE_SELECT = os.environ.get("NICE_SLAM_TPU_DEVICE_SELECT", "1") == "1"
 
+# bfloat16 activations through the mapping forward/backward (decoder
+# residuals, grid features, per-iteration stacked weights); matmuls keep
+# f32 accumulation and losses stay f32.  Measured A/B in PERF.md r4;
+# NICE_SLAM_TPU_ACT_BF16=0 restores all-f32 activations.
+_ACT_BF16 = os.environ.get("NICE_SLAM_TPU_ACT_BF16", "0") == "1"
+
 # jitted pose converters: the eager op-by-op versions cost dozens of host
 # dispatches per call (see slam/tracker.py note)
 _batched_tensor_from_pose = jax.jit(jax.vmap(tensor_from_pose))
@@ -531,7 +537,7 @@ def mapping_loss(
     depth, uncertainty, color = render_batch_ray(
         spec, state, rays_o, rays_d, stage,
         gt_depth=None if mcfg.coarse_mapper else gt_d,
-        key=None, rcfg=rcfg,
+        key=None, rcfg=rcfg, act_bf16=_ACT_BF16,
     )
 
     depth_mask = (gt_d > 0) & inside
@@ -545,7 +551,8 @@ def mapping_loss(
     if not mcfg.occupancy:
         # iMAP volume-density free-space regularizer (reference :496-501)
         sigma = regulation(
-            spec, state, rays_d, rays_o, gt_d, k_reg, rcfg.N_samples, stage
+            spec, state, rays_d, rays_o, gt_d, k_reg, rcfg.N_samples, stage,
+            act_bf16=_ACT_BF16,
         )
         loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
     return loss

@@ -107,6 +107,32 @@ def main() -> None:
              "(RESULTS.md) — 30-frame sweeps vary by a few cm across "
              "pixel-draw streams")
     parser.add_argument(
+        "--texture", type=str, default=None, choices=["checker", "hash"],
+        help="synthetic wall texture; 'hash' (unique per-cell color) "
+             "removes the default checker's lateral aliasing for "
+             "full-orbit TRACKED runs (geometry identical; see "
+             "utils/datasets.py Synthetic)")
+    parser.add_argument(
+        "--track_pixels", type=int, default=None,
+        help="override tracking.pixels (the acceptance tour uses a "
+             "stronger budget than the bench default, like the "
+             "reference's Apartment/Demo configs: 5000 px)")
+    parser.add_argument(
+        "--track_iters", type=int, default=None,
+        help="override tracking.iters")
+    parser.add_argument(
+        "--cf_iters", type=int, default=0,
+        help="coarse-to-fine tracking: boosted LR for the first N "
+             "iterations (the measured fast-motion lever, RESULTS.md §3)")
+    parser.add_argument(
+        "--cf_lr_mult", type=float, default=5.0,
+        help="LR multiplier for the cf_iters window")
+    parser.add_argument(
+        "--kind", type=str, default=None,
+        help="override the --record key (e.g. 'tracked_tour' for the "
+             "full-coverage tracked acceptance run, so it doesn't clobber "
+             "the 30-frame 'tracked' row)")
+    parser.add_argument(
         "--record", type=str, default=None,
         help="merge the summary into this JSON file under a key derived "
              "from the run kind (tracked/gt_tour/imap...); "
@@ -156,6 +182,15 @@ def main() -> None:
         cfg["mapping"]["keyframe_every"] = args.keyframe_every
     if args.seed is not None:
         cfg["seed"] = args.seed
+    if args.cf_iters > 0:
+        cfg["tracking"]["cf_iters"] = args.cf_iters
+        cfg["tracking"]["cf_lr_mult"] = args.cf_lr_mult
+    if args.track_pixels is not None:
+        cfg["tracking"]["pixels"] = args.track_pixels
+    if args.track_iters is not None:
+        cfg["tracking"]["iters"] = args.track_iters
+    if args.texture is not None:
+        cfg["data"]["texture"] = args.texture
 
     ns = argparse.Namespace(nice=not args.imap, input_folder=None,
                             output=None)
@@ -207,6 +242,8 @@ def main() -> None:
             kind += f"_kf{args.keyframe_every}"
         if args.seed is not None:
             kind += f"_s{args.seed}"
+        if args.kind is not None:
+            kind = args.kind
         book = {}
         if os.path.exists(args.record):
             with open(args.record) as f:

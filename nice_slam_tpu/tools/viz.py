@@ -258,19 +258,28 @@ class O3DFrontend:
         return SLAMFrontend.finalize_video(self, path, fps)
 
 
-def make_frontend(*args, online: Optional[bool] = None, **kwargs):
-    """Frontend factory: the live Open3D window when the library is
-    importable (or ``online=True`` forces the attempt), else the offline
-    raycast replay.  ``online=False`` forces offline.
+def make_frontend(*args, online: Optional[bool] = None,
+                  frontend: Optional[str] = None, port: int = 8765,
+                  **kwargs):
+    """Frontend factory.
 
-    In auto mode ANY construction failure falls back (open3d importing
-    but window creation failing — headless host, no GLFW/display — is as
-    common as the library being absent); an explicit ``online=True``
-    surfaces the error instead."""
-    if online is not False:
+    ``frontend`` selects explicitly: 'open3d' (live GUI window, raises if
+    unavailable), 'web' (live browser viewer served over HTTP — the
+    headless-host interactive path, tools/webviz.py), 'offline' (raycast
+    replay to frames/mp4).  Default/auto: the Open3D window when the
+    library is importable (or ``online=True`` forces the attempt), else
+    the offline replay — ANY construction failure falls back (open3d
+    importing but window creation failing on a headless host is as
+    common as the library being absent); an explicit request surfaces
+    the error instead."""
+    if frontend == "web":
+        from nice_slam_tpu.tools.webviz import WebFrontend
+
+        return WebFrontend(*args, port=port, **kwargs)
+    if frontend == "open3d" or (frontend is None and online is not False):
         try:
             return O3DFrontend(*args, **kwargs)
         except Exception:
-            if online:  # explicitly requested: surface the real error
+            if online or frontend == "open3d":  # explicit: surface it
                 raise
     return SLAMFrontend(*args, **kwargs)

@@ -317,6 +317,15 @@ class Synthetic(BaseDataset):
         self.upload_quant = (65535.0 / (diag * max(scale, 1e-12) * 1.25), 1.0)
         # total orbit sweep; per-frame motion scales with radians / n_frames
         self.orbit_radians = float(cfg["data"].get("orbit_radians", 0.5 * np.pi))
+        # wall texture: "checker" (default; 0.5 m periodic blue checker +
+        # weak positional gradients) or "hash" (unique pseudo-random color
+        # per 0.5 m cell).  The checker walls are PLANAR + PERIODIC — over
+        # a full orbit the tracker's lateral constraint aliases by whole
+        # checker periods (aperture problem; measured RESULTS.md r4), which
+        # no real richly-textured sequence exhibits.  GEOMETRY is identical
+        # in both variants, so recon ground truth and the quality gates are
+        # texture-agnostic.
+        self.texture = str(cfg["data"].get("texture", "checker"))
         self.poses = [self._pose(i) for i in range(self.n_img)]
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -366,16 +375,27 @@ class Synthetic(BaseDataset):
         hit = rays_o[None, None, :] + rays_d * depth[..., None]
         # wall id = argmax |hit - center| scaled; color = wall base + checker
         rel = (hit - self.room[:, 0]) / (self.room[:, 1] - self.room[:, 0])
-        checker = ((np.floor(hit[..., 0] * 2) + np.floor(hit[..., 1] * 2)
-                    + np.floor(hit[..., 2] * 2)) % 2).astype(np.float32)
-        color = np.stack(
-            [
-                0.2 + 0.6 * rel[..., 0],
-                0.2 + 0.6 * rel[..., 1],
-                0.3 + 0.4 * checker,
-            ],
-            axis=-1,
-        ).astype(np.float32)
+        if self.texture == "hash":
+            # unique pseudo-random RGB per 0.5 m cell: unambiguous lateral
+            # texture (same geometry as the checker variant)
+            cell = np.floor(hit * 2.0).astype(np.int64)
+            chans = []
+            for salt in (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D):
+                h = (cell[..., 0] * 73856093 ^ cell[..., 1] * 19349663
+                     ^ cell[..., 2] * 83492791 ^ salt)
+                chans.append(0.15 + 0.7 * ((h % 1021) / 1020.0))
+            color = np.stack(chans, axis=-1).astype(np.float32)
+        else:
+            checker = ((np.floor(hit[..., 0] * 2) + np.floor(hit[..., 1] * 2)
+                        + np.floor(hit[..., 2] * 2)) % 2).astype(np.float32)
+            color = np.stack(
+                [
+                    0.2 + 0.6 * rel[..., 0],
+                    0.2 + 0.6 * rel[..., 1],
+                    0.3 + 0.4 * checker,
+                ],
+                axis=-1,
+            ).astype(np.float32)
         out = (np.clip(color, 0, 1), depth)
         self._cache[index] = out
         return out

@@ -26,8 +26,14 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None)
-    ap.add_argument("--frames", type=int, default=51)
+    # mirror bench.py's _measure_strict_loop window EXACTLY (61 frames,
+    # measure 26..55): the run must end BEFORE the final frame — the
+    # final-frame color-refine schedule is a fresh jit signature whose
+    # trace+compile (~13-34 s on this 1-vCPU host) would otherwise land
+    # inside the measured window and swamp it (r4 finding)
+    ap.add_argument("--frames", type=int, default=61)
     ap.add_argument("--warm_end", type=int, default=26)
+    ap.add_argument("--last", type=int, default=55)
     args = ap.parse_args()
 
     import argparse as _ap
@@ -169,7 +175,7 @@ def main():
                         clock("map_coarse", slam.map_one, idx, color, depth,
                               c2w, init=False, coarse=True)
             t_iter_prev = time.perf_counter()
-            if idx == n_frames - 1:
+            if idx == args.last:
                 break
         slam.flush_packs()
     finally:
@@ -179,7 +185,7 @@ def main():
     wall = time.perf_counter() - t0
     if tracing:
         jax.profiler.stop_trace()
-    nf = n_frames - 1 - args.warm_end
+    nf = args.last - args.warm_end
     print(f"\nwall {wall*1e3:.0f} ms for {nf} frames "
           f"-> {nf/wall:.2f} FPS")
     for k, v in sorted(phase.items()):

@@ -106,3 +106,60 @@ def test_frontend_factory_fallback(tmp_path):
         make_frontend(str(tmp_path), init_pose=np.eye(4), online=False),
         SLAMFrontend,
     )
+
+
+def test_web_frontend_serves_live_scene(tmp_path):
+    """The browser viewer (tools/webviz.py) must serve the page, the
+    state JSON and a mesh blob that decodes back to the PLY exactly —
+    the headless-host interactive-viewer path (reference counterpart:
+    the Open3D GUI, src/tools/viz.py:45-209)."""
+    import json
+    import struct
+    import urllib.request
+
+    import numpy as np
+    import pytest
+
+    from nice_slam_tpu.tools.viz import make_frontend
+    from nice_slam_tpu.utils.meshlib import read_ply, write_ply
+
+    # a tiny two-triangle mesh fixture
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    tris = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    cols = np.array([[255, 0, 0]] * 4, np.uint8)
+    ply = str(tmp_path / "m.ply")
+    write_ply(ply, verts, tris, cols)
+
+    gt = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    fe = make_frontend(str(tmp_path), init_pose=np.eye(4), frontend="web",
+                       port=0, gt_c2w_list=gt)
+    try:
+        base = f"http://localhost:{fe.port}"
+        page = urllib.request.urlopen(base + "/").read().decode()
+        assert "webgl" in page and "mesh.bin" in page
+
+        fe.update_mesh(ply)
+        for i in range(3):
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[0, 3] = i * 0.1
+            fe.update_pose(i, c2w)
+
+        st = json.loads(urllib.request.urlopen(base + "/state").read())
+        assert st["idx"] == 2 and st["mesh_version"] == 0
+        assert len(st["est"]) == 3 and st["est"][2][0] == pytest.approx(0.2)
+        assert len(st["gt"]) == 3
+        assert len(st["frustum"]) == 16  # 8 wireframe edges as point pairs
+
+        blob = urllib.request.urlopen(base + "/mesh.bin").read()
+        nv, nt = struct.unpack_from("<II", blob, 0)
+        assert (nv, nt) == (4, 2)
+        v = np.frombuffer(blob, np.float32, nv * 3, 8).reshape(nv, 3)
+        off = 8 + nv * 12
+        c = np.frombuffer(blob, np.uint8, nv * 3, off).reshape(nv, 3)
+        off2 = off + ((nv * 3 + 3) // 4) * 4
+        t = np.frombuffer(blob, np.uint32, nt * 3, off2).reshape(nt, 3)
+        rv, rt, rc = read_ply(ply)
+        np.testing.assert_allclose(v, rv)
+        assert (t == rt).all() and (c == rc).all()
+    finally:
+        fe.close()

@@ -15,6 +15,7 @@ input RGB-D frames alongside.
 import argparse
 import glob
 import os
+import time
 
 import numpy as np
 
@@ -31,6 +32,17 @@ def main() -> None:
         "--online", action="store_true",
         help="force the live Open3D window (default: auto — live when "
              "open3d is importable, offline raycast replay otherwise)")
+    parser.add_argument(
+        "--frontend", choices=["auto", "open3d", "web", "offline"],
+        default="auto",
+        help="viewer backend: 'web' serves a live browser viewer over "
+             "HTTP (works on headless hosts, tools/webviz.py), 'open3d' "
+             "the GUI window, 'offline' the raycast replay")
+    parser.add_argument("--port", type=int, default=8765,
+                        help="HTTP port for --frontend web")
+    parser.add_argument("--fps", type=float, default=0.0,
+                        help="pace the replay (e.g. 30 for web viewing; "
+                             "0 = as fast as possible)")
     group = parser.add_mutually_exclusive_group()
     group.add_argument("--nice", dest="nice", action="store_true")
     group.add_argument("--imap", dest="nice", action="store_false")
@@ -67,6 +79,8 @@ def main() -> None:
         estimate_c2w_list=estimate_c2w_list,
         gt_c2w_list=None if args.no_gt_traj else gt_c2w_list,
         online=True if args.online else None,
+        frontend=None if args.frontend == "auto" else args.frontend,
+        port=args.port,
     )
 
     frame_reader = None
@@ -105,6 +119,8 @@ def main() -> None:
         if frontend.renderer is None and meshes:
             frontend.update_mesh(meshes[-1])
         frontend.update_pose(i, estimate_c2w_list[i])
+        if args.fps > 0:
+            time.sleep(1.0 / args.fps)
         if i % 50 == 0:
             print(f"rendered frame {i}/{N}")
 
@@ -112,6 +128,14 @@ def main() -> None:
         path = os.path.join(output, "vis.mp4")
         frontend.finalize_video(path)
         print(f"video saved at {path}")
+    if args.frontend == "web":
+        frontend.finalize_video("")  # flags 'done' in the HUD
+        print("replay finished; web viewer stays up (ctrl-c to exit)")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
 
 
 if __name__ == "__main__":
