@@ -51,11 +51,9 @@ def main() -> None:
     if plat:
         jax.config.update("jax_platforms", plat)
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from nice_slam_tpu.utils.cache import setup_cache
+
+    setup_cache(os.path.dirname(os.path.abspath(__file__)))
 
     from nice_slam_tpu.config import load_config
     from nice_slam_tpu.slam.slam import NiceSLAM

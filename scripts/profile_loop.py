@@ -16,9 +16,9 @@ sys.path.insert(0, here)
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(here, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from nice_slam_tpu.utils.cache import setup_cache  # noqa: E402
+
+setup_cache(here)  # host-fingerprinted partition (utils/cache.py)
 
 import numpy as np
 

@@ -23,7 +23,11 @@ assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 jax.config.update("jax_enable_x64", False)
 
 # Persistent compile cache: compiles dominate test wall-time on this host.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Partitioned by host fingerprint — XLA:CPU AOT entries are not portable
+# across the fleet's CPU-feature-heterogeneous hosts (utils/cache.py).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+from nice_slam_tpu.utils.cache import setup_cache  # noqa: E402
+
+setup_cache(os.path.join(os.path.dirname(__file__), ".."))
