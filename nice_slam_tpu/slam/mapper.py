@@ -58,8 +58,8 @@ _DEVICE_SELECT = os.environ.get("NICE_SLAM_TPU_DEVICE_SELECT", "1") == "1"
 
 # bfloat16 activations through the mapping forward/backward (decoder
 # residuals, grid features, per-iteration stacked weights); matmuls keep
-# f32 accumulation and losses stay f32.  Measured A/B in PERF.md r4;
-# NICE_SLAM_TPU_ACT_BF16=0 restores all-f32 activations.
+# f32 accumulation and losses stay f32.  Set NICE_SLAM_TPU_ACT_BF16=1 to
+# enable; default OFF (measured neutral in the PERF.md r4 A/B).
 _ACT_BF16 = os.environ.get("NICE_SLAM_TPU_ACT_BF16", "0") == "1"
 
 # jitted pose converters: the eager op-by-op versions cost dozens of host

@@ -811,6 +811,17 @@ class NiceSLAM:
         (utils/compile_guard.py holds the backstop lock for signatures
         that only appear mid-run, e.g. BA engaging at 5 keyframes)."""
         from nice_slam_tpu.utils.datasets import Prefetcher
+        from nice_slam_tpu.utils import compile_guard
+
+        if not compile_guard.is_installed():
+            # The guard degrades to a no-op when the private hook target is
+            # missing (unpinned JAX upgrade); concurrent cold compiles then
+            # segfault the process — refuse loudly instead.
+            raise RuntimeError(
+                "loose/free sync requires the first-compile lock "
+                "(utils/compile_guard.py) but it is not installed on this "
+                "JAX version; use sync_method=strict or pin jax per "
+                "requirements.txt")
 
         every = self.mcfg.every_frame
         frame_cache: Dict[int, tuple] = {}

@@ -97,6 +97,7 @@ class SLAMFrontend:
                  estimate_c2w_list=None, gt_c2w_list=None):
         self.output = output
         self.save_rendering = save_rendering
+        self.near = int(near)  # render/record only frames past this idx
         self.estimate_c2w_list = estimate_c2w_list
         self.gt_c2w_list = gt_c2w_list
         self.frames: List[np.ndarray] = []
@@ -112,7 +113,7 @@ class SLAMFrontend:
         self.renderer = MeshRenderer(verts, tris, colors)
 
     def update_pose(self, idx: int, c2w: np.ndarray) -> Optional[np.ndarray]:
-        if self.renderer is None:
+        if self.renderer is None or idx < self.near:
             return None
         # third-person view: behind and above the camera
         view = c2w.copy()
@@ -180,6 +181,7 @@ class O3DFrontend:
         self._o3d = o3d
         self.output = output
         self.cam_scale = cam_scale
+        self.near = int(near)
         self.save_rendering = save_rendering
         self.estimate_c2w_list = estimate_c2w_list
         self.gt_c2w_list = gt_c2w_list
@@ -215,6 +217,8 @@ class O3DFrontend:
         self.renderer = mesh
 
     def update_pose(self, idx: int, c2w: np.ndarray) -> Optional[np.ndarray]:
+        if idx < self.near:
+            return None
         o3d = self._o3d
         if self._frustum is not None:
             self.vis.remove_geometry(self._frustum, False)
@@ -260,7 +264,7 @@ class O3DFrontend:
 
 def make_frontend(*args, online: Optional[bool] = None,
                   frontend: Optional[str] = None, port: int = 8765,
-                  **kwargs):
+                  host: str = "127.0.0.1", **kwargs):
     """Frontend factory.
 
     ``frontend`` selects explicitly: 'open3d' (live GUI window, raises if
@@ -275,7 +279,7 @@ def make_frontend(*args, online: Optional[bool] = None,
     if frontend == "web":
         from nice_slam_tpu.tools.webviz import WebFrontend
 
-        return WebFrontend(*args, port=port, **kwargs)
+        return WebFrontend(*args, port=port, host=host, **kwargs)
     if frontend == "open3d" or (frontend is None and online is not False):
         try:
             return O3DFrontend(*args, **kwargs)

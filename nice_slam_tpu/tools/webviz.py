@@ -276,9 +276,17 @@ class WebFrontend:
     def __init__(self, output: str, init_pose=None, cam_scale: float = 0.3,
                  save_rendering: bool = False, near: int = 0,
                  estimate_c2w_list=None, gt_c2w_list=None,
-                 port: int = 8765):
+                 port: int = 8765, host: str = "127.0.0.1"):
         self.output = output
         self.cam_scale = cam_scale
+        self.near = int(near)  # trajectory starts after this frame
+        if save_rendering:
+            import warnings
+
+            warnings.warn(
+                "WebFrontend streams live geometry to the browser but has "
+                "no offscreen rasterizer; --save_rendering is ignored — "
+                "use the offline frontend for vis.mp4", stacklevel=2)
         self.gt_c2w_list = gt_c2w_list
         self._lock = threading.Lock()
         self._mesh_blob: Optional[bytes] = None
@@ -328,12 +336,16 @@ class WebFrontend:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        # loopback by default — the live scene should not be exposed on
+        # every interface unless the user opts in (--host 0.0.0.0)
+        self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever,
                                         daemon=True)
         self._thread.start()
-        print(f"INFO: web viewer listening on http://localhost:{self.port}/")
+        shown = "localhost" if host in ("127.0.0.1", "0.0.0.0") else host
+        print(f"INFO: web viewer listening on http://{shown}:{self.port}/"
+              + ("" if host == "127.0.0.1" else f" (bound to {host})"))
 
     # ---- frontend interface -------------------------------------------
     def update_mesh(self, mesh_path: str) -> None:
@@ -355,6 +367,8 @@ class WebFrontend:
         self.renderer = True
 
     def update_pose(self, idx: int, c2w: np.ndarray) -> None:
+        if idx < self.near:
+            return None
         c2w = np.asarray(c2w, np.float32)
         with self._lock:
             self._idx = int(idx)

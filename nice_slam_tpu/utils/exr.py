@@ -68,7 +68,13 @@ def read_exr(path: str) -> Dict[str, np.ndarray]:
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != _MAGIC:
         raise IOError(f"{path}: not an EXR file")
+    # version-field feature bits (OpenEXR spec §"version field"):
+    # 0x200 = single-part tiled, 0x800 = deep data, 0x1000 = multi-part
     if version & 0x200:
+        raise IOError(f"{path}: tiled EXR not supported (scanline only)")
+    if version & 0x800:
+        raise IOError(f"{path}: deep-data EXR not supported")
+    if version & 0x1000:
         raise IOError(f"{path}: multi-part EXR not supported")
     off = 8
 

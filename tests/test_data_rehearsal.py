@@ -301,3 +301,30 @@ def test_slam_runs_on_cofusion_format(tmp_path):
     slam.run()
     assert np.isfinite(slam.estimate_c2w_list[:6]).all()
     assert os.path.exists(tmp_path / "out" / "mesh" / "final_mesh.ply")
+
+
+def test_exr_rejects_unsupported_layouts_per_bit(tmp_path):
+    """The bundled codec is scanline-only; the version-field feature bits
+    (0x200 tiled, 0x800 deep, 0x1000 multi-part) must each be rejected
+    with the RIGHT message — r4 ADVICE: the old check tested 0x200 but
+    called it 'multi-part', letting real multi-part/deep files misparse
+    the offset table with confusing downstream errors."""
+    import struct
+
+    import pytest
+
+    from nice_slam_tpu.utils.exr import _MAGIC, read_exr, write_exr
+
+    # a valid scanline file, then corrupt only the version word
+    path = str(tmp_path / "d.exr")
+    write_exr(path, {"Z": np.full((4, 6), 1.5, np.float32)})
+    body = open(path, "rb").read()
+    for bit, msg in ((0x200, "tiled"), (0x800, "deep"), (0x1000, "multi-part")):
+        bad = struct.pack("<ii", _MAGIC, 2 | bit) + body[8:]
+        p = str(tmp_path / f"bad_{bit:x}.exr")
+        open(p, "wb").write(bad)
+        with pytest.raises(IOError, match=msg):
+            read_exr(p)
+    # the pristine file still reads
+    z = read_exr(path)["Z"]
+    np.testing.assert_allclose(z, 1.5)

@@ -134,6 +134,8 @@ def test_web_frontend_serves_live_scene(tmp_path):
     fe = make_frontend(str(tmp_path), init_pose=np.eye(4), frontend="web",
                        port=0, gt_c2w_list=gt)
     try:
+        # loopback bind by default — not exposed on all interfaces
+        assert fe._server.server_address[0] == "127.0.0.1"
         base = f"http://localhost:{fe.port}"
         page = urllib.request.urlopen(base + "/").read().decode()
         assert "webgl" in page and "mesh.bin" in page
@@ -161,5 +163,27 @@ def test_web_frontend_serves_live_scene(tmp_path):
         rv, rt, rc = read_ply(ply)
         np.testing.assert_allclose(v, rv)
         assert (t == rt).all() and (c == rc).all()
+    finally:
+        fe.close()
+
+
+def test_web_frontend_honors_near_and_warns_on_save_rendering(tmp_path):
+    """`near` trims the trajectory start (reference src/tools/viz.py
+    passes it through to the GUI); `save_rendering` is unsupported on the
+    web frontend and must warn, not silently drop (ADVICE/VERDICT r4)."""
+    import numpy as np
+    import pytest
+
+    from nice_slam_tpu.tools.viz import make_frontend
+
+    with pytest.warns(UserWarning, match="save_rendering"):
+        fe = make_frontend(str(tmp_path), init_pose=np.eye(4),
+                           frontend="web", port=0, near=2,
+                           save_rendering=True)
+    try:
+        for i in range(4):
+            fe.update_pose(i, np.eye(4, dtype=np.float32))
+        assert fe._idx == 3
+        assert len(fe._est) == 2  # frames 0,1 < near are trimmed
     finally:
         fe.close()

@@ -40,6 +40,9 @@ def main() -> None:
              "the GUI window, 'offline' the raycast replay")
     parser.add_argument("--port", type=int, default=8765,
                         help="HTTP port for --frontend web")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address for --frontend web (loopback by "
+                             "default; pass 0.0.0.0 to expose remotely)")
     parser.add_argument("--fps", type=float, default=0.0,
                         help="pace the replay (e.g. 30 for web viewing; "
                              "0 = as fast as possible)")
@@ -81,6 +84,7 @@ def main() -> None:
         online=True if args.online else None,
         frontend=None if args.frontend == "auto" else args.frontend,
         port=args.port,
+        host=args.host,
     )
 
     frame_reader = None
