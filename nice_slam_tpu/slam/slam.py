@@ -243,7 +243,11 @@ class NiceSLAM:
         # per-stage wall-clock accounting (written to {output}/timings.json)
         self.timings = {"tracking_s": 0.0, "mapping_s": 0.0,
                         "coarse_mapping_s": 0.0, "meshing_s": 0.0,
-                        "frames": 0}
+                        "frames": 0,
+                        # event counts -> per-event costs in timings.json
+                        # (each key is written by exactly one thread)
+                        "tracked_frames": 0, "mapping_events": 0,
+                        "coarse_mapping_events": 0}
         self.print_output_desc()
 
     # ------------------------------------------------------------------
@@ -424,6 +428,7 @@ class NiceSLAM:
         for idx, _, gtc in self._pend:
             self.gt_c2w_list[idx] = gtc
         self.idx = self._pend[-1][0]
+        self.timings["tracked_frames"] += len(self._pend)
         self._pend.clear()
         self.timings["tracking_s"] += time.perf_counter() - _t0
 
@@ -440,6 +445,7 @@ class NiceSLAM:
             return self._track_one(idx, gt_color, gt_depth, gt_c2w, will_map)
         finally:
             self.timings["tracking_s"] += time.perf_counter() - _t0
+            self.timings["tracked_frames"] += 1
 
     def _track_one(self, idx: int, gt_color, gt_depth, gt_c2w,
                    will_map: bool = False) -> np.ndarray:
@@ -594,6 +600,8 @@ class NiceSLAM:
         finally:
             key = "coarse_mapping_s" if coarse else "mapping_s"
             self.timings[key] += time.perf_counter() - _t0
+            self.timings["coarse_mapping_events" if coarse
+                         else "mapping_events"] += 1
 
     def _map_one(self, idx: int, gt_color, gt_depth, gt_c2w,
                  init: bool, coarse: bool = False) -> None:
@@ -750,6 +758,17 @@ class NiceSLAM:
             self.timings["fps"] = self.timings["frames"] / max(
                 self.timings["total_s"], 1e-9
             )
+        # per-event costs: the cross-sync-mode comparison currency
+        # (strict vs loose vs free run DIFFERENT event counts by design;
+        # per-event cost is what "engineering parity" means, PERF.md)
+        for skey, nkey, out in (
+            ("tracking_s", "tracked_frames", "tracking_ms_per_frame"),
+            ("mapping_s", "mapping_events", "mapping_ms_per_event"),
+            ("coarse_mapping_s", "coarse_mapping_events",
+             "coarse_mapping_ms_per_event"),
+        ):
+            if self.timings.get(nkey, 0) > 0:
+                self.timings[out] = 1e3 * self.timings[skey] / self.timings[nkey]
         with open(os.path.join(self.output, "timings.json"), "w") as f:
             json.dump(self.timings, f, indent=2)
 
