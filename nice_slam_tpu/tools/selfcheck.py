@@ -23,10 +23,14 @@ import numpy as np
 
 
 def gt_room_mesh(room: np.ndarray, path: str, poses, cam,
-                 resolution: int = 96) -> str:
-    """Finely-triangulated analytic room-wall mesh, frustum-culled to the
+                 resolution: int = 96, sdf=None) -> str:
+    """Finely-triangulated analytic scene mesh, frustum-culled to the
     trajectory's seen region — the synthetic analog of the reference's
-    culled GT meshes (cull_replica_mesh, consumed by eval_recon)."""
+    culled GT meshes (cull_replica_mesh, consumed by eval_recon).
+
+    ``sdf`` (optional): the dataset's ``scene_sdf`` — positive in free
+    space, zero on every surface the analytic ray tracer returns (walls
+    AND furniture for the furnished scene).  Without it, walls only."""
     from nice_slam_tpu.tools.cull_mesh import cull_mesh
     from nice_slam_tpu.utils.meshlib import marching_cubes, write_ply
 
@@ -35,10 +39,13 @@ def gt_room_mesh(room: np.ndarray, path: str, poses, cam,
     axes = [np.linspace(lo[k] - pad, hi[k] + pad, resolution)
             for k in range(3)]
     X, Y, Z = np.meshgrid(*axes, indexing="ij")
-    # signed "insideness": >0 inside the room -> iso-surface = the walls
-    field = np.minimum.reduce([
-        X - lo[0], hi[0] - X, Y - lo[1], hi[1] - Y, Z - lo[2], hi[2] - Z,
-    ]).astype(np.float32)
+    if sdf is not None:
+        field = sdf(np.stack([X, Y, Z], axis=-1)).astype(np.float32)
+    else:
+        # signed "insideness": >0 inside the room -> iso-surface = walls
+        field = np.minimum.reduce([
+            X - lo[0], hi[0] - X, Y - lo[1], hi[1] - Y, Z - lo[2], hi[2] - Z,
+        ]).astype(np.float32)
     spacing = tuple((a[1] - a[0]) for a in axes)
     verts, tris = marching_cubes(field, 0.0,
                                  origin=(axes[0][0], axes[1][0], axes[2][0]),
@@ -128,6 +135,36 @@ def main() -> None:
         "--cf_lr_mult", type=float, default=5.0,
         help="LR multiplier for the cf_iters window")
     parser.add_argument(
+        "--scene", type=str, default=None, choices=["box", "furnished"],
+        help="synthetic scene geometry; 'furnished' adds a deterministic "
+             "ring of interior spheres+boxes (utils/datasets.py "
+             "Synthetic._furniture) so depth edges and parallax constrain "
+             "the full pose the way real furniture does in the "
+             "reference's Replica rooms — the bare box shows every view "
+             "a single textured plane, a degeneracy real sequences don't "
+             "have (measured r5: the bare-wall tracked full orbit "
+             "diverges tangentially; the furnished one tracks)")
+    parser.add_argument(
+        "--ba", action="store_true",
+        help="enable local bundle adjustment (mapping.BA): jointly refit "
+             "the window keyframe poses (oldest fixed) with the map each "
+             "mapping event.  The reference base config ships BA: True "
+             "(/root/reference/configs/nice_slam.yaml:49) and long tracked "
+             "tours NEED it — without the pose-map joint anchor, map "
+             "regions written at slightly-drifted poses pull subsequent "
+             "tracking further off (measured r5: the 750-frame orbit "
+             "diverged tangentially from frame ~20 with BA off)")
+    parser.add_argument(
+        "--ksel", type=str, default=None, choices=["overlap", "global"],
+        help="override mapping.keyframe_selection_method: 'global' draws "
+             "the mapping window's keyframes uniformly from ALL past "
+             "keyframes (reference src/Mapper.py:78-80 'global' mode) — "
+             "the rehearsal lever against map forgetting on "
+             "never-revisiting trajectories (the r5 loss-landscape probe "
+             "showed the final map renders the early orbit region at 10x "
+             "the loss of recent regions under 'overlap' selection, with "
+             "tracking minima biased by >=4 cm there)")
+    parser.add_argument(
         "--kind", type=str, default=None,
         help="override the --record key (e.g. 'tracked_tour' for the "
              "full-coverage tracked acceptance run, so it doesn't clobber "
@@ -190,6 +227,12 @@ def main() -> None:
         cfg["tracking"]["iters"] = args.track_iters
     if args.texture is not None:
         cfg["data"]["texture"] = args.texture
+    if args.ba:
+        cfg["mapping"]["BA"] = True
+    if args.scene is not None:
+        cfg["data"]["scene"] = args.scene
+    if args.ksel is not None:
+        cfg["mapping"]["keyframe_selection_method"] = args.ksel
 
     ns = argparse.Namespace(nice=not args.imap, input_folder=None,
                             output=None)
@@ -206,6 +249,7 @@ def main() -> None:
     gt_mesh = gt_room_mesh(
         np.asarray(room), os.path.join(args.out, "gt_room.ply"),
         [slam.gt_c2w_list[i] for i in range(n)], slam.cam,
+        sdf=getattr(slam.frame_reader, "scene_sdf", None),
     )
     rec_mesh = os.path.join(args.out, "mesh", "final_mesh_eval_rec.ply")
     if not os.path.exists(rec_mesh):

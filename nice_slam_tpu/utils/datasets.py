@@ -311,6 +311,19 @@ class Synthetic(BaseDataset):
         self.n_img = int(cfg["data"].get("n_frames", 40))
         room = cfg["data"].get("room", [[-2.0, 2.0], [-2.0, 2.0], [-2.0, 2.0]])
         self.room = np.asarray(room, dtype=np.float32)
+        # scene geometry: "box" (bare walls — every view is a single plane,
+        # so depth constrains only 3 DOF and ALL lateral/roll information
+        # must come from color, a degeneracy no real indoor sequence has)
+        # or "furnished" (walls + a deterministic ring of interior spheres
+        # and boxes, analytically ray-traced: depth edges + parallax
+        # constrain the full pose the way real furniture does in the
+        # reference's Replica rooms).  Measured r5 (RESULTS.md): on bare
+        # walls the tracked full orbit diverges tangentially at Replica
+        # per-frame motion; with furniture the same run tracks.
+        self.scene = str(cfg["data"].get("scene", "box"))
+        self.spheres, self.boxes = self._furniture() if (
+            self.scene == "furnished") else (np.zeros((0, 4), np.float32),
+                                             np.zeros((0, 6), np.float32))
         # float-native analytic depth: quantize at a scene-derived scale
         # (room diagonal never clips; ~0.3 mm steps at Replica room size)
         diag = float(np.linalg.norm(self.room[:, 1] - self.room[:, 0]))
@@ -353,6 +366,77 @@ class Synthetic(BaseDataset):
         c2w[:3, 3] = eye
         return c2w
 
+    def _furniture(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Deterministic interior layout: 8 spheres + 8 axis-aligned boxes
+        on TWO staggered rings between the camera orbit (r = 0.25 * room
+        size) and the walls.  The outward-looking orbit camera's ~34 deg
+        half-FOV sees a ring object only while its center is within
+        ~±(12-17) deg of the view axis, so 22.5 deg effective spacing
+        (8 per ring, rings staggered by half a step) keeps at least one
+        object in view from every orbit angle while each stays small
+        enough to leave most of the background wall visible.  Fixed (not
+        random) so every run, test and GT mesh agrees bit-for-bit."""
+        center = self.room.mean(axis=1)
+        size = float(np.min(self.room[:, 1] - self.room[:, 0]))
+        lo_y, hi_y = float(self.room[1, 0]), float(self.room[1, 1])
+        spheres, boxes = [], []
+        # 16 floor-to-ceiling square pillars, 22.5 deg apart on alternating
+        # radii: THIN (they never fill the view the way a big box does —
+        # measured r5: one large dead-ahead box face re-creates the planar
+        # degeneracy) and TALL (a vertical depth edge in view from every
+        # orbit angle pins exactly the tangential-translation + yaw mode
+        # that runs away on bare walls)
+        for k in range(16):
+            ang = 2.0 * np.pi * k / 16.0
+            ring = (0.3625, 0.425)[k % 2] * size
+            half = (0.09, 0.13)[k % 2]
+            c = center + np.array(
+                [ring * np.cos(ang), 0.0, ring * np.sin(ang)], np.float32)
+            h = np.array([half, 0.5 * (hi_y - lo_y), half], np.float32)
+            boxes.append(np.concatenate([c - h, c + h]))
+        # 8 thin slabs ("shelves"): horizontal top/bottom edges constrain
+        # vertical translation + pitch the way the pillars do yaw
+        for k in range(8):
+            ang = 2.0 * np.pi * k / 8.0 + np.pi / 16.0
+            y = (0.3, -0.3)[k % 2]
+            c = center + np.array(
+                [0.40 * size * np.cos(ang), y, 0.40 * size * np.sin(ang)],
+                np.float32)
+            h = np.array([0.26, 0.045, 0.26], np.float32)
+            boxes.append(np.concatenate([c - h, c + h]))
+        # 8 small spheres: curved silhouettes constrain all image-plane DOF
+        for k in range(8):
+            ang = 2.0 * np.pi * k / 8.0 + 3.0 * np.pi / 16.0
+            y = (-0.28, 0.28)[k % 2]
+            c = center + np.array(
+                [0.38 * size * np.cos(ang), y, 0.38 * size * np.sin(ang)],
+                np.float32)
+            spheres.append([c[0], c[1], c[2], 0.11 + 0.03 * (k % 3)])
+        return (np.asarray(spheres, np.float32),
+                np.asarray(boxes, np.float32))
+
+    def scene_sdf(self, pts: np.ndarray) -> np.ndarray:
+        """Signed distance of the WHOLE scene, positive in free space —
+        zero level set = walls + furniture surfaces, exactly the surfaces
+        the analytic ray tracer in _render returns.  Consumed by
+        tools/selfcheck.gt_room_mesh for the recon-eval GT mesh."""
+        pts = np.asarray(pts, np.float32)
+        lo, hi = self.room[:, 0], self.room[:, 1]
+        f = np.minimum.reduce([
+            pts[..., 0] - lo[0], hi[0] - pts[..., 0],
+            pts[..., 1] - lo[1], hi[1] - pts[..., 1],
+            pts[..., 2] - lo[2], hi[2] - pts[..., 2],
+        ]).astype(np.float32)
+        for s in self.spheres:
+            f = np.minimum(f, np.linalg.norm(pts - s[:3], axis=-1) - s[3])
+        for b in self.boxes:
+            c, h = (b[:3] + b[3:]) / 2.0, (b[3:] - b[:3]) / 2.0
+            q = np.abs(pts - c) - h
+            f = np.minimum(
+                f, np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+                + np.minimum(np.max(q, axis=-1), 0.0))
+        return f
+
     def _render(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         if index in self._cache:
             return self._cache[index]
@@ -372,19 +456,62 @@ class Synthetic(BaseDataset):
             ]
         t_exit = np.min(np.max(t, axis=-1), axis=-1)
         depth = t_exit.astype(np.float32)
+        # furnished scene: nearest analytic primitive hit wins over the wall
+        obj_id = np.full(depth.shape, -1, np.int32)  # -1 = wall
+        oid = 0
+        for s in self.spheres:
+            oc = (rays_o - s[:3]).astype(np.float32)
+            a = np.sum(rays_d * rays_d, axis=-1)
+            b = 2.0 * (rays_d @ oc)
+            cc = float(oc @ oc - s[3] * s[3])
+            disc = b * b - 4.0 * a * cc
+            with np.errstate(invalid="ignore"):
+                th = (-b - np.sqrt(disc)) / (2.0 * a)
+            m = (disc > 0) & (th > 1e-4) & (th < depth)
+            depth[m] = th[m].astype(np.float32)
+            obj_id[m] = oid
+            oid += 1
+        for bx in self.boxes:
+            lo_hi = bx.reshape(2, 3)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tb = (lo_hi[None, None] - rays_o[None, None, None, :]) \
+                    / rays_d[..., None, :]
+            tn = np.max(np.min(tb, axis=-2), axis=-1)
+            tf = np.min(np.max(tb, axis=-2), axis=-1)
+            m = (tn <= tf) & (tn > 1e-4) & (tn < depth)
+            depth[m] = tn[m].astype(np.float32)
+            obj_id[m] = oid
+            oid += 1
         hit = rays_o[None, None, :] + rays_d * depth[..., None]
         # wall id = argmax |hit - center| scaled; color = wall base + checker
         rel = (hit - self.room[:, 0]) / (self.room[:, 1] - self.room[:, 0])
         if self.texture == "hash":
-            # unique pseudo-random RGB per 0.5 m cell: unambiguous lateral
-            # texture (same geometry as the checker variant)
+            # DE-ALIASED checker: the checker's strict parity stays in the
+            # B channel — guaranteed high-contrast edge every 0.5 m, which
+            # is what the rendering tracker locks onto (r5 probe ladder,
+            # RESULTS.md: smooth value noise and constant-color cells both
+            # lose lock; a pure random-bit checker has 50% same-bit
+            # neighbors, whose percolation blobs leave whole views nearly
+            # edge-free and the 750-frame tour diverged at frame ~30) —
+            # and a pseudo-random bit per 0.5 m cell rides the R channel
+            # at lower amplitude, giving every cell an aperiodic identity
+            # that kills the whole-period lateral aliasing the plain
+            # checker exhibits over a full orbit.  GEOMETRY is identical
+            # to the checker variant.
             cell = np.floor(hit * 2.0).astype(np.int64)
-            chans = []
-            for salt in (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D):
-                h = (cell[..., 0] * 73856093 ^ cell[..., 1] * 19349663
-                     ^ cell[..., 2] * 83492791 ^ salt)
-                chans.append(0.15 + 0.7 * ((h % 1021) / 1020.0))
-            color = np.stack(chans, axis=-1).astype(np.float32)
+            h = (cell[..., 0] * 73856093 ^ cell[..., 1] * 19349663
+                 ^ cell[..., 2] * 83492791 ^ 0x9E3779B1)
+            rbit = ((h >> 7) & 1).astype(np.float32)
+            checker = ((cell[..., 0] + cell[..., 1] + cell[..., 2]) % 2
+                       ).astype(np.float32)
+            color = np.stack(
+                [
+                    0.15 + 0.5 * rel[..., 0] + 0.25 * rbit,
+                    0.2 + 0.6 * rel[..., 1],
+                    0.3 + 0.4 * checker,
+                ],
+                axis=-1,
+            ).astype(np.float32)
         else:
             checker = ((np.floor(hit[..., 0] * 2) + np.floor(hit[..., 1] * 2)
                         + np.floor(hit[..., 2] * 2)) % 2).astype(np.float32)
@@ -396,6 +523,18 @@ class Synthetic(BaseDataset):
                 ],
                 axis=-1,
             ).astype(np.float32)
+        if oid > 0:
+            # per-object tint blended over the (continuous-3D) wall texture:
+            # objects stay individually identifiable while keeping the
+            # texture pipeline's edge density on their surfaces
+            palette = np.array(
+                [[0.9, 0.3, 0.2], [0.2, 0.8, 0.3], [0.25, 0.4, 0.95],
+                 [0.95, 0.8, 0.2], [0.8, 0.3, 0.85], [0.2, 0.85, 0.8],
+                 [0.95, 0.55, 0.15], [0.55, 0.95, 0.25]], np.float32)
+            on_obj = obj_id >= 0
+            tint = palette[np.where(on_obj, obj_id, 0) % len(palette)]
+            color = np.where(on_obj[..., None],
+                             0.45 * color + 0.55 * tint, color)
         out = (np.clip(color, 0, 1), depth)
         self._cache[index] = out
         return out

@@ -45,6 +45,54 @@ def test_synthetic_depth_is_analytic_box_exit():
     assert abs(d_center - t_exit) < 0.05
 
 
+def test_synthetic_furnished_hits_lie_on_scene_sdf():
+    """The analytic primitive ray tracer and scene_sdf must describe the
+    SAME surfaces: every rendered depth's hit point sits on the SDF zero
+    level (this is what makes the furnished GT recon mesh exact)."""
+    cfg = _syn_cfg()
+    cfg["data"]["scene"] = "furnished"
+    cfg["data"]["n_frames"] = 6
+    cfg["data"]["orbit_radians"] = 6.283
+    ds = Synthetic(cfg)
+    assert len(ds.spheres) == 8 and len(ds.boxes) == 24
+    fracs = []
+    for i in range(6):
+        _, _, depth, _ = ds[i]
+        c2w = ds.poses[i]
+        H, W = depth.shape
+        j, ii = np.meshgrid(np.arange(H, dtype=np.float32),
+                            np.arange(W, dtype=np.float32), indexing="ij")
+        dirs = np.stack([(ii - ds.cx) / ds.fx, -(j - ds.cy) / ds.fy,
+                         -np.ones_like(ii)], -1)
+        rd = dirs @ c2w[:3, :3].T
+        ro = c2w[:3, 3]
+        hit = ro + rd * depth[..., None]
+        assert np.abs(ds.scene_sdf(hit.reshape(-1, 3))).max() < 1e-4
+        # furniture actually occupies the view (the layout's design
+        # contract: >=1 object visible from every orbit angle)
+        t = (ds.room[None, None] - ro[None, None, :, None]) / rd[..., None]
+        t_exit = np.min(np.max(t, axis=-1), axis=-1)
+        fracs.append(float((depth < t_exit - 1e-5).mean()))
+    assert min(fracs) > 0.02 and max(fracs) > 0.15
+
+
+def test_synthetic_box_scene_has_no_furniture():
+    """Default scene stays the bare box: geometry (and with it every
+    existing QUALITY row and bench number) is unchanged by the furnished
+    variant's machinery."""
+    ds = Synthetic(_syn_cfg())
+    assert len(ds.spheres) == 0 and len(ds.boxes) == 0
+    cfg = _syn_cfg()
+    cfg["data"]["scene"] = "furnished"
+    fd = Synthetic(cfg)
+    _, _, depth_box, _ = ds[0]
+    # walls-only SDF agrees between variants (furniture only ADDS surfaces)
+    pts = np.array([[0.0, 0.0, 0.0], [1.9, 0.0, 0.0], [-2.0, 1.0, 1.0]])
+    box_sdf = ds.scene_sdf(pts)
+    assert box_sdf[2] == 0.0 and box_sdf[0] == 2.0
+    assert (fd.scene_sdf(pts) <= box_sdf + 1e-6).all()
+
+
 def test_synthetic_crop_edge():
     ds = Synthetic(_syn_cfg(crop_edge=4))
     _, color, depth, _ = ds[0]
