@@ -140,10 +140,11 @@ def main() -> None:
              "ring of interior spheres+boxes (utils/datasets.py "
              "Synthetic._furniture) so depth edges and parallax constrain "
              "the full pose the way real furniture does in the "
-             "reference's Replica rooms — the bare box shows every view "
-             "a single textured plane, a degeneracy real sequences don't "
-             "have (measured r5: the bare-wall tracked full orbit "
-             "diverges tangentially; the furnished one tracks)")
+             "reference's Replica rooms.  Measured r5 (RESULTS.md 2b): "
+             "with --ba on, bare walls BEAT the furnished scene on the "
+             "tracked full orbit (27.1 vs 35.9 cm ATE) — silhouettes "
+             "also occlude textured wall — so 'furnished' serves as the "
+             "geometry-generality rehearsal, not the acceptance config")
     parser.add_argument(
         "--ba", action="store_true",
         help="enable local bundle adjustment (mapping.BA): jointly refit "

@@ -317,9 +317,13 @@ class Synthetic(BaseDataset):
         # or "furnished" (walls + a deterministic ring of interior spheres
         # and boxes, analytically ray-traced: depth edges + parallax
         # constrain the full pose the way real furniture does in the
-        # reference's Replica rooms).  Measured r5 (RESULTS.md): on bare
-        # walls the tracked full orbit diverges tangentially at Replica
-        # per-frame motion; with furniture the same run tracks.
+        # reference's Replica rooms).  Measured r5 (RESULTS.md 2b): local
+        # BA — not furniture — is the lever that stops the tracked full
+        # orbit diverging (37.5 -> 7.1 cm on the 1/3-orbit probe); with BA
+        # on, bare walls beat the furnished scene at full-tour scale
+        # (27.1 vs 35.9 cm ATE) because every silhouette also occludes
+        # textured wall.  "furnished" stays as the geometry-generality
+        # scene (multi-object meshing/culling/depth-edge rendering).
         self.scene = str(cfg["data"].get("scene", "box"))
         self.spheres, self.boxes = self._furniture() if (
             self.scene == "furnished") else (np.zeros((0, 4), np.float32),
@@ -334,7 +338,7 @@ class Synthetic(BaseDataset):
         # weak positional gradients) or "hash" (unique pseudo-random color
         # per 0.5 m cell).  The checker walls are PLANAR + PERIODIC — over
         # a full orbit the tracker's lateral constraint aliases by whole
-        # checker periods (aperture problem; measured RESULTS.md r4), which
+        # checker periods (aperture problem; measured RESULTS.md 2b), which
         # no real richly-textured sequence exhibits.  GEOMETRY is identical
         # in both variants, so recon ground truth and the quality gates are
         # texture-agnostic.
@@ -380,38 +384,55 @@ class Synthetic(BaseDataset):
         size = float(np.min(self.room[:, 1] - self.room[:, 0]))
         lo_y, hi_y = float(self.room[1, 0]), float(self.room[1, 1])
         spheres, boxes = [], []
-        # 16 floor-to-ceiling square pillars, 22.5 deg apart on alternating
-        # radii: THIN (they never fill the view the way a big box does —
-        # measured r5: one large dead-ahead box face re-creates the planar
-        # degeneracy) and TALL (a vertical depth edge in view from every
-        # orbit angle pins exactly the tangential-translation + yaw mode
-        # that runs away on bare walls)
-        for k in range(16):
-            ang = 2.0 * np.pi * k / 16.0
-            ring = (0.3625, 0.425)[k % 2] * size
-            half = (0.09, 0.13)[k % 2]
+        # Furniture must clear TWO constraints the r5 probe ladder measured
+        # (RESULTS.md 2b):
+        #   * REPRESENTABLE: every feature >= ~2 fine-grid voxels (0.16 m
+        #     grid_len -> >=0.35 m).  A first layout used 0.12-0.26 m
+        #     pillars/shelves: the map cannot reconstruct sub-voxel
+        #     geometry, so the rendered depth at the silhouette edges —
+        #     exactly the tracker's strongest signal — was wall-depth
+        #     mush, and tracking did WORSE than bare walls (30.5 vs
+        #     7.1 cm ATE on the 150-frame probe).
+        #   * NOT VIEW-FILLING: objects hug the walls (ring = 0.42 * size,
+        #     ~0.7 m ahead of the 1.0 m-radius orbit) and stay under half
+        #     the 34 deg half-FOV, so textured wall remains visible around
+        #     every silhouette.  An earlier layout at 0.36 * size filled
+        #     2/3 of each view with one flat sub-voxel-textured face and
+        #     tracking lost lock by frame 8.
+        # The silhouette depth edge is METRIC (depth is absolute): it pins
+        # the tangential-translation + yaw mode that drifts on bare walls,
+        # where lateral signal exists only in color.
+        # 8 floor-to-ceiling square pillars, 45 deg apart:
+        for k in range(8):
+            ang = 2.0 * np.pi * k / 8.0
+            ring = 0.42 * size
+            half = (0.18, 0.20)[k % 2]
             c = center + np.array(
                 [ring * np.cos(ang), 0.0, ring * np.sin(ang)], np.float32)
             h = np.array([half, 0.5 * (hi_y - lo_y), half], np.float32)
             boxes.append(np.concatenate([c - h, c + h]))
-        # 8 thin slabs ("shelves"): horizontal top/bottom edges constrain
+        # 8 chunky slabs ("dressers"): horizontal top edges constrain
         # vertical translation + pitch the way the pillars do yaw
         for k in range(8):
-            ang = 2.0 * np.pi * k / 8.0 + np.pi / 16.0
+            ang = 2.0 * np.pi * k / 8.0 + np.pi / 8.0
+            y = (0.35, -0.35)[k % 2]
+            c = center + np.array(
+                [0.42 * size * np.cos(ang), y, 0.42 * size * np.sin(ang)],
+                np.float32)
+            h = np.array([0.22, 0.18, 0.22], np.float32)
+            boxes.append(np.concatenate([c - h, c + h]))
+        # 8 spheres: curved silhouettes constrain all image-plane DOF.
+        # Azimuths coincide with the NEXT dresser slot (3pi/8 = pi/8 +
+        # 2pi/8), so the y parity is chosen OPPOSITE that dresser's:
+        # sphere and dresser share a column at different heights, like a
+        # lamp above a cabinet.
+        for k in range(8):
+            ang = 2.0 * np.pi * k / 8.0 + 3.0 * np.pi / 8.0
             y = (0.3, -0.3)[k % 2]
             c = center + np.array(
                 [0.40 * size * np.cos(ang), y, 0.40 * size * np.sin(ang)],
                 np.float32)
-            h = np.array([0.26, 0.045, 0.26], np.float32)
-            boxes.append(np.concatenate([c - h, c + h]))
-        # 8 small spheres: curved silhouettes constrain all image-plane DOF
-        for k in range(8):
-            ang = 2.0 * np.pi * k / 8.0 + 3.0 * np.pi / 16.0
-            y = (-0.28, 0.28)[k % 2]
-            c = center + np.array(
-                [0.38 * size * np.cos(ang), y, 0.38 * size * np.sin(ang)],
-                np.float32)
-            spheres.append([c[0], c[1], c[2], 0.11 + 0.03 * (k % 3)])
+            spheres.append([c[0], c[1], c[2], 0.18 + 0.02 * (k % 3)])
         return (np.asarray(spheres, np.float32),
                 np.asarray(boxes, np.float32))
 

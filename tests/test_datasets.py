@@ -54,7 +54,7 @@ def test_synthetic_furnished_hits_lie_on_scene_sdf():
     cfg["data"]["n_frames"] = 6
     cfg["data"]["orbit_radians"] = 6.283
     ds = Synthetic(cfg)
-    assert len(ds.spheres) == 8 and len(ds.boxes) == 24
+    assert len(ds.spheres) == 8 and len(ds.boxes) == 16
     fracs = []
     for i in range(6):
         _, _, depth, _ = ds[i]

@@ -49,6 +49,16 @@ GATES = {
     # 3b): keyframe_every=25 balances rehearsal span vs anchor density
     "imap_kf25": {"accuracy_cm": ("<=", 7.0),
                   "depth_l1_cm": ("<=", 5.0)},
+    # tracked FULL-COVERAGE tour (RESULTS.md 2b): 750 frames, full 2pi
+    # orbit at 0.48 deg/frame, BA on, hash texture.  The achieved 27.1 cm
+    # ATE is the sqrt(N)-integrated per-frame tracking noise of the
+    # 30-frame protocol (5.9 cm median x sqrt(750/30) = 29.5 cm), NOT a
+    # divergence — the gate pins that random-walk regime; a tracker
+    # regression that turns drift into divergence (the 100-322 cm failures
+    # the texture/BA ladder fixed) trips it with huge margin.
+    "tracked_tour": {"ate_rmse_cm": ("<=", 40.0),
+                     "completion_ratio_pct": (">=", 25.0),
+                     "depth_l1_cm": ("<=", 3.0)},
 }
 
 
