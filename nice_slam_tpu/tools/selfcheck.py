@@ -293,8 +293,12 @@ def main() -> None:
             with open(args.record) as f:
                 book = json.load(f)
         book[kind] = summary
-        with open(args.record, "w") as f:
+        # atomic replace: the test suite's quality gates may read this
+        # file while a recording run is in flight (e.g. overnight queue)
+        tmp = args.record + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(book, f, indent=1, sort_keys=True)
+        os.replace(tmp, args.record)
         print(f"INFO: recorded '{kind}' into {args.record}")
 
 

@@ -102,8 +102,11 @@ def main() -> None:
         book["envelope"] = {"frames": args.frames,
                             "cf_iters": args.cf_iters,
                             "cf_lr_mult": args.cf_mult, "rows": rows}
-        with open(args.record, "w") as f:
+        # atomic replace (suite quality gates may read concurrently)
+        tmp = args.record + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(book, f, indent=1, sort_keys=True)
+        os.replace(tmp, args.record)
 
 
 if __name__ == "__main__":
